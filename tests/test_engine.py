@@ -1,0 +1,109 @@
+"""Engine tests: scan/step equivalence, sharded-vs-single-device equality on
+the 8-device virtual CPU mesh, and reference-parity of the minibatch driver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import assert_close
+from vadc_tpu.io.testtensor import load_testtensor
+from vadc_tpu.models.weights import silero_v31_params
+from vadc_tpu.engine.runner import MinibatchRunner, StreamRunner
+from vadc_tpu.engine.shard import ShardedStreamRunner, make_stream_mesh
+
+
+@pytest.fixture(scope="module")
+def v31_params(testdata):
+    return silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+
+
+def _random_chunks(shape, seed=0, scale=0.1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+def test_scan_equals_step_loop(v31_params):
+    runner = StreamRunner("v3", v31_params)
+    chunks = _random_chunks((4, 3, 1536))
+    state = runner.init_state(4)
+    probs_scan, state_scan = runner.scan(chunks, state)
+
+    state_loop = runner.init_state(4)
+    probs_steps = []
+    for t in range(3):
+        p, state_loop = runner.step(chunks[:, t], state_loop)
+        probs_steps.append(p)
+    probs_loop = jnp.stack(probs_steps, axis=1)
+
+    assert_close(probs_scan, probs_loop, 1e-6, "scan vs step probs")
+    assert_close(state_scan.h, state_loop.h, 1e-6, "scan vs step h")
+    assert_close(state_scan.c, state_loop.c, 1e-6, "scan vs step c")
+
+
+def test_sharded_matches_unsharded(v31_params):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_stream_mesh(jax.devices()[:8])
+    sharded = ShardedStreamRunner("v3", v31_params, mesh)
+    plain = StreamRunner("v3", v31_params)
+
+    chunks = _random_chunks((16, 1536), seed=1)
+    s_state = sharded.init_state(16)
+    p_state = plain.init_state(16)
+
+    probs_s, s_state = sharded.step(chunks, s_state)
+    probs_p, p_state = plain.step(chunks, p_state)
+    assert_close(probs_s, probs_p, 1e-4, "sharded step probs")
+    assert_close(s_state.h, p_state.h, 1e-4, "sharded step h")
+
+    seq = _random_chunks((16, 2, 1536), seed=2)
+    probs_s2, s_state = sharded.scan(seq, s_state)
+    probs_p2, p_state = plain.scan(seq, p_state)
+    assert_close(probs_s2, probs_p2, 1e-4, "sharded scan probs")
+    assert_close(s_state.c, p_state.c, 1e-3, "sharded scan c")
+
+
+def test_minibatch_runner_matches_forward(v31_params):
+    """The windowed driver must equal one straight minibatched forward when
+    window == batch (reference process_chunks with batch 96, vadc.c:56-103)."""
+    from vadc_tpu.models import silero_v31
+
+    runner = MinibatchRunner("v3", v31_params, batch_size=4, chunk_samples=1536)
+    samples = np.asarray(_random_chunks((4 * 1536,), seed=3))
+    probs = runner.process_window(samples)
+
+    h = jnp.zeros((2, 1, 64))
+    c = jnp.zeros((2, 1, 64))
+    ref_probs, hn, cn = silero_v31.forward_minibatched(
+        v31_params, jnp.asarray(samples).reshape(4, 1536), h, c
+    )
+    assert_close(np.asarray(probs), np.asarray(ref_probs), 1e-5, "window probs")
+    assert_close(runner.h, hn, 1e-5, "window hn")
+
+
+def test_minibatch_runner_state_threads_across_windows(v31_params):
+    """Two windows through the runner == one window of all chunks."""
+    from vadc_tpu.models import silero_v31
+
+    samples = np.asarray(_random_chunks((8 * 1536,), seed=4))
+    r2 = MinibatchRunner("v3", v31_params, batch_size=4, chunk_samples=1536)
+    probs2 = r2.process_window(samples[: 4 * 1536]) + r2.process_window(
+        samples[4 * 1536 :]
+    )
+
+    h = jnp.zeros((2, 1, 64))
+    c = jnp.zeros((2, 1, 64))
+    ref_probs, _, _ = silero_v31.forward_minibatched(
+        v31_params, jnp.asarray(samples).reshape(8, 1536), h, c
+    )
+    assert_close(np.asarray(probs2), np.asarray(ref_probs), 1e-5, "two windows")
+
+
+def test_stream_state_pytree_roundtrip(v31_params):
+    from vadc_tpu.engine.runner import StreamState, init_stream_state
+
+    state = init_stream_state("v3", 3)
+    leaves, treedef = jax.tree.flatten(state)
+    back = jax.tree.unflatten(treedef, leaves)
+    assert isinstance(back, StreamState)
+    assert back.h.shape == (2, 3, 64)

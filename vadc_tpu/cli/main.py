@@ -1,0 +1,182 @@
+"""vadc-compatible command line: s16le PCM (stdin or any media file via
+ffmpeg) in, speech-segment timestamps on stdout.
+
+Flag surface matches the reference exactly (option table vadc.c:1110-1124):
+
+    vadc [file] [--min_silence MS] [--min_speech MS] [--threshold P]
+         [--neg_threshold_relative P] [--speech_pad MS] [--batch N]
+         [--sequence_count N] [--audio_source N] [--start_seconds S]
+         [--raw_probabilities] [--stats] [--output_centi_seconds]
+         [--model PATH]
+
+Output discipline: stdout carries only data (segments or raw probabilities);
+everything else goes to stderr (reference README contract)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from vadc_tpu.cli.segmenter import (
+    Segmenter,
+    SegmenterConfig,
+    format_segment_centiseconds,
+    format_segment_seconds,
+)
+from vadc_tpu.cli.stats import Stats
+from vadc_tpu.io.pcm import SAMPLE_RATE, iter_sample_windows
+from vadc_tpu.io.ffmpeg import FFmpegSource
+
+# Window of chunks processed per refill (reference vadc.c:799: 96 chunks).
+WINDOW_CHUNKS = 96
+
+DEFAULT_WEIGHTS = Path(__file__).resolve().parent.parent / "data" / "silero_v31_16k.testtensor"
+_REFERENCE_WEIGHTS = Path("/root/reference/testdata/silero_v31_16k.testtensor")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vadc",
+        description="TPU-native streaming voice activity detection "
+        "(Silero VAD v3.1/v4/v5).",
+    )
+    p.add_argument("filename", nargs="?", default=None,
+                   help="input media file (decoded via ffmpeg); omit to read "
+                        "raw s16le 16 kHz mono PCM from stdin")
+    p.add_argument("--min_silence", type=float, default=200.0,
+                   help="minimum silence duration in ms to close a segment")
+    p.add_argument("--min_speech", type=float, default=250.0,
+                   help="minimum speech duration in ms to keep a segment")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="speech trigger probability threshold")
+    p.add_argument("--neg_threshold_relative", type=float, default=0.15,
+                   help="exit threshold = threshold - this value")
+    p.add_argument("--speech_pad", type=float, default=30.0,
+                   help="pad emitted segments by this many ms on both sides")
+    p.add_argument("--batch", type=int, default=96,
+                   help="chunks per model batch")
+    p.add_argument("--sequence_count", type=int, default=1536,
+                   help="chunk size in samples (v3: multiple of 256 in "
+                        "[512,1536]; v5: fixed 512)")
+    p.add_argument("--audio_source", type=int, default=0,
+                   help="audio stream index for ffmpeg -map")
+    p.add_argument("--start_seconds", type=float, default=0.0,
+                   help="seek offset passed to ffmpeg")
+    p.add_argument("--raw_probabilities", action="store_true",
+                   help="print one probability per chunk instead of segments")
+    p.add_argument("--stats", action="store_true",
+                   help="print realtime-factor stats to stderr")
+    p.add_argument("--output_centi_seconds", action="store_true",
+                   help="print integer centiseconds instead of seconds")
+    p.add_argument("--model", type=str, default=None,
+                   help="path to a .testtensor weight archive "
+                        "(default: bundled Silero v3.1 16k)")
+    return p
+
+
+def resolve_weights_path(model_arg: str | None) -> Path:
+    if model_arg:
+        return Path(model_arg)
+    if DEFAULT_WEIGHTS.exists():
+        return DEFAULT_WEIGHTS
+    if _REFERENCE_WEIGHTS.exists():
+        return _REFERENCE_WEIGHTS
+    raise FileNotFoundError(
+        "no weight archive found; pass --model <path.testtensor>"
+    )
+
+
+def clamp_sequence_count(family: str, requested: int) -> int:
+    """Model-imposed chunk-size limits (reference vadc.h:85-94, clamp
+    vadc.c:742-754): v3/v4 accept [512, 1536]; v5 is fixed at 512."""
+    if family == "v5":
+        return 512
+    return max(512, min(1536, requested))
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from vadc_tpu.runtime import enable_persistent_compilation_cache
+    from vadc_tpu.models.weights import load_params
+    from vadc_tpu.engine.runner import MinibatchRunner
+
+    enable_persistent_compilation_cache()
+
+    weights_path = resolve_weights_path(args.model)
+    family, params = load_params(weights_path)
+    if family == "v5":
+        print("Model arch is Silero v5", file=sys.stderr)
+
+    seq = clamp_sequence_count(family, int(args.sequence_count))
+    print(f"Running with batch size {args.batch}", file=sys.stderr)
+    print(f"Running with sequence count {seq}", file=sys.stderr)
+
+    runner = MinibatchRunner(
+        family, params, batch_size=int(args.batch), chunk_samples=seq
+    )
+    seg_config = SegmenterConfig.from_ms(
+        chunk_samples=seq,
+        sample_rate=SAMPLE_RATE,
+        min_silence_ms=args.min_silence,
+        min_speech_ms=args.min_speech,
+        threshold=args.threshold,
+        neg_threshold_relative=args.neg_threshold_relative,
+        speech_pad_ms=args.speech_pad,
+    )
+    segmenter = Segmenter(seg_config)
+    stats = Stats(output_enabled=args.stats, sample_rate=SAMPLE_RATE)
+    fmt = (
+        format_segment_centiseconds
+        if args.output_centi_seconds
+        else format_segment_seconds
+    )
+
+    def emit(start: float, end: float) -> None:
+        stats.add_speech(start, end)
+        sys.stdout.write(fmt(start, end) + "\n")
+        sys.stdout.flush()
+        stats.print_line()
+
+    window_samples = seq * WINDOW_CHUNKS
+
+    def run(stream) -> None:
+        for window, valid in iter_sample_windows(stream, window_samples):
+            stats.add_samples(valid)
+            probs = runner.process_window(window)
+            # A short final window yields floor(valid/seq) real chunks; the
+            # zero-padded remainder is computed (state advances, matching the
+            # reference's padded final batch, vadc.c:88-99) but not emitted.
+            emit_count = int(valid / seq) if valid < window_samples else len(probs)
+            for prob in probs[:emit_count]:
+                if args.raw_probabilities:
+                    sys.stdout.write(f"{prob:f}\n")
+                else:
+                    for s, e in segmenter.feed(prob):
+                        emit(s, e)
+            if args.raw_probabilities:
+                sys.stdout.flush()
+            stats.print_line()
+
+    if args.filename:
+        with FFmpegSource(
+            args.filename,
+            audio_source=args.audio_source,
+            start_seconds=args.start_seconds,
+        ) as stream:
+            run(stream)
+    else:
+        run(sys.stdin.buffer)
+
+    if not args.raw_probabilities:
+        for s, e in segmenter.finish():
+            emit(s, e)
+    stats.print_line(final=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,158 @@
+"""Model runners: jitted per-chunk step functions and scan drivers.
+
+Two execution shapes:
+
+  * `StreamRunner.step` — one chunk per stream for a batch of B independent
+    streams (the realtime serving hot path). State (h, c, v5 context) is a
+    donated pytree, device-resident across calls.
+  * `StreamRunner.scan` — offline: audio [B, T, chunk] scanned over T on
+    device with state in the scan carry; returns probs [B, T]. This is the
+    TPU-native generalization of the reference's whole-file loop
+    (vadc.c:852-999) to many files at once.
+
+  * `MinibatchRunner` — the reference driver's exact semantics for ONE
+    stream: a window of N consecutive chunks flattened through the LSTM
+    (process_chunks, vadc.c:56-103), used by the CLI for golden parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vadc_tpu.models import silero_v31, silero_v4, silero_v5
+
+_FAMILIES = {
+    "v3": silero_v31,
+    "v4": silero_v4,
+    "v5": silero_v5,
+}
+
+
+def get_family_module(family: str):
+    try:
+        return _FAMILIES[family]
+    except KeyError:
+        raise ValueError(f"unknown model family {family!r}") from None
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StreamState:
+    """Per-stream recurrent state: the complete resumable inference state of
+    a batch of streams (reference analogue: silero.h:36-37, vadc.c:124)."""
+
+    h: jax.Array  # [L, B, H]
+    c: jax.Array  # [L, B, H]
+    context: jax.Array | None = None  # [B, 64] v5 only
+
+    def tree_flatten(self):
+        return (self.h, self.c, self.context), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_streams(self) -> int:
+        return self.h.shape[1]
+
+
+def init_stream_state(family: str, n_streams: int) -> StreamState:
+    mod = get_family_module(family)
+    h, c = mod.init_state(n_streams)
+    ctx = silero_v5.init_context(n_streams) if family == "v5" else None
+    return StreamState(h, c, ctx)
+
+
+class StreamRunner:
+    """Batched independent-stream inference for one model family."""
+
+    def __init__(self, family: str, params: dict):
+        self.family = family
+        self.params = params
+        self.module = get_family_module(family)
+        self._step = jax.jit(functools.partial(_step, self.module, family))
+        self._scan = jax.jit(functools.partial(_scan, self.module, family))
+
+    def init_state(self, n_streams: int) -> StreamState:
+        return init_stream_state(self.family, n_streams)
+
+    def step(self, chunks: jax.Array, state: StreamState) -> tuple[jax.Array, StreamState]:
+        """chunks: [B, chunk_samples] new audio -> (probs [B], new state)."""
+        return self._step(self.params, chunks, state)
+
+    def scan(self, chunks: jax.Array, state: StreamState) -> tuple[jax.Array, StreamState]:
+        """chunks: [B, T, chunk_samples] -> (probs [B, T], final state)."""
+        return self._scan(self.params, chunks, state)
+
+
+def _step(module, family: str, params: dict, chunks: jax.Array, state: StreamState):
+    if family == "v5":
+        inp, new_ctx = silero_v5.attach_context(chunks, state.context)
+    else:
+        inp, new_ctx = chunks, state.context
+    probs, hn, cn = module.forward(params, inp, state.h, state.c)
+    return probs, StreamState(hn, cn, new_ctx)
+
+
+def _scan(module, family: str, params: dict, chunks: jax.Array, state: StreamState):
+    def body(st, chunk_t):
+        probs, new_st = _step(module, family, params, chunk_t, st)
+        return new_st, probs
+
+    final_state, probs = lax.scan(body, state, chunks.transpose(1, 0, 2))
+    return probs.transpose(1, 0), final_state
+
+
+class MinibatchRunner:
+    """Reference-parity single-stream driver: batches of consecutive chunks
+    flattened through the LSTM, state rotated between batches."""
+
+    def __init__(self, family: str, params: dict, *, batch_size: int, chunk_samples: int):
+        self.family = family
+        self.params = params
+        self.module = get_family_module(family)
+        self.batch_size = batch_size
+        self.chunk_samples = chunk_samples
+        mod = self.module
+        self.h, self.c = mod.init_state(1)
+        self.context = silero_v5.init_context(1) if family == "v5" else None
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, params, chunks, h, c, context):
+        if self.family == "v5":
+            # Per-chunk 64-sample prefix: chunk i gets the tail of chunk i-1;
+            # chunk 0 gets the carried context (process_chunks_v5, vadc.c:105-162).
+            prev_tails = jnp.concatenate(
+                [context, chunks[:-1, -silero_v5.CONTEXT_SAMPLES :]], axis=0
+            )
+            inp = jnp.concatenate([prev_tails, chunks], axis=-1)
+            new_context = chunks[-1:, -silero_v5.CONTEXT_SAMPLES :]
+            probs, hn, cn = self.module.forward_minibatched(params, inp, h, c)
+            return probs, hn, cn, new_context
+        probs, hn, cn = self.module.forward_minibatched(params, chunks, h, c)
+        return probs, hn, cn, context
+
+    def process_window(self, samples) -> list[float]:
+        """Process a window of samples (zero-padded multiple of chunk size),
+        returning one probability per chunk in the window."""
+        n_chunks = samples.shape[0] // self.chunk_samples
+        chunks = jnp.asarray(samples).reshape(n_chunks, self.chunk_samples)
+        probs_out: list[float] = []
+        for off in range(0, n_chunks, self.batch_size):
+            batch = chunks[off : off + self.batch_size]
+            if batch.shape[0] < self.batch_size:
+                batch = jnp.pad(
+                    batch, ((0, self.batch_size - batch.shape[0]), (0, 0))
+                )
+            probs, self.h, self.c, self.context = self._fwd(
+                self.params, batch, self.h, self.c, self.context
+            )
+            probs_out.extend(float(p) for p in probs)
+        return probs_out

@@ -1,0 +1,168 @@
+"""Vectorized hysteresis FSM: segment thousands of streams on-device.
+
+Same transition semantics as the host Segmenter (and the reference's
+feed_probability, vadc.c:165-221), but expressed as a lax.scan over the chunk
+axis with int32/bool state arrays per stream — jnp.where replaces the
+branches, so the whole batch advances in a handful of VPU ops per chunk.
+
+Used by the offline multi-stream engine: probabilities [B, T] in, per-chunk
+"segment closed here" events out; pad/merge and emission stay on host (they
+touch only the few closed segments, not every chunk).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vadc_tpu.cli.segmenter import Segmenter, SegmenterConfig
+
+
+class FsmState(NamedTuple):
+    triggered: jax.Array  # bool [B]
+    speech_start: jax.Array  # int32 [B]
+    temp_end: jax.Array  # int32 [B]
+    chunk_index: jax.Array  # int32 scalar
+
+
+def init_fsm_state(n_streams: int) -> FsmState:
+    return FsmState(
+        triggered=jnp.zeros(n_streams, bool),
+        speech_start=jnp.zeros(n_streams, jnp.int32),
+        temp_end=jnp.zeros(n_streams, jnp.int32),
+        chunk_index=jnp.int32(0),
+    )
+
+
+def fsm_step(
+    state: FsmState,
+    prob: jax.Array,
+    *,
+    threshold: float,
+    neg_threshold: float,
+    min_silence_chunks: int,
+    min_speech_chunks: int,
+) -> tuple[FsmState, tuple[jax.Array, jax.Array, jax.Array]]:
+    """Advance every stream's FSM one chunk.
+
+    prob: [B]. Returns (new state, (closed [B] bool, seg_start [B], seg_end [B])).
+    """
+    idx = state.chunk_index
+    above = prob >= threshold
+    below_neg = prob < neg_threshold
+
+    # prob >= threshold cancels a tentative end
+    temp_end = jnp.where(above, 0, state.temp_end)
+
+    # not triggered and above -> trigger
+    newly_triggered = ~state.triggered & above
+    speech_start = jnp.where(newly_triggered, idx, state.speech_start)
+    triggered = state.triggered | newly_triggered
+
+    # triggered and below neg_threshold -> tentative end, maybe close
+    tentative = state.triggered & below_neg
+    temp_end = jnp.where(tentative & (temp_end == 0), idx, temp_end)
+    closing = tentative & (idx - temp_end >= min_silence_chunks)
+    long_enough = temp_end - speech_start >= min_speech_chunks
+    closed = closing & long_enough
+    seg_start = speech_start
+    seg_end = temp_end
+
+    # reset on close (valid or discarded)
+    triggered = jnp.where(closing, False, triggered)
+    speech_start = jnp.where(closing, 0, speech_start)
+    temp_end = jnp.where(closing, 0, temp_end)
+
+    return (
+        FsmState(triggered, speech_start, temp_end, idx + 1),
+        (closed, seg_start, seg_end),
+    )
+
+
+def segment_batch(
+    probs: jax.Array,
+    *,
+    threshold: float,
+    neg_threshold: float,
+    min_silence_chunks: int,
+    min_speech_chunks: int,
+    state: FsmState | None = None,
+) -> tuple[FsmState, tuple[jax.Array, jax.Array, jax.Array]]:
+    """Run the FSM over probs [B, T].
+
+    Returns (final state, (closed [T, B], seg_start [T, B], seg_end [T, B])).
+    """
+    if state is None:
+        state = init_fsm_state(probs.shape[0])
+
+    def body(st, p_t):
+        return fsm_step(
+            st,
+            p_t,
+            threshold=threshold,
+            neg_threshold=neg_threshold,
+            min_silence_chunks=min_silence_chunks,
+            min_speech_chunks=min_speech_chunks,
+        )
+
+    return lax.scan(body, state, probs.T)
+
+
+def collect_segments(
+    probs,
+    config: SegmenterConfig,
+) -> list[list[tuple[float, float]]]:
+    """Offline multi-stream segmentation: probabilities [B, T] -> padded and
+    merged (start_s, end_s) segments per stream.
+
+    The per-chunk FSM runs vectorized on device; only the closed-segment
+    events (sparse) plus the final open-segment snap and pad/merge run on
+    host. Semantics identical to the scalar CLI Segmenter."""
+    import numpy as np
+
+    probs = jnp.asarray(probs, jnp.float32)
+    n_streams, n_chunks = probs.shape
+    final_state, (closed, seg_start, seg_end) = jax.jit(
+        segment_batch, static_argnames=(
+            "threshold", "neg_threshold", "min_silence_chunks", "min_speech_chunks",
+        )
+    )(
+        probs,
+        threshold=config.threshold,
+        neg_threshold=config.neg_threshold,
+        min_silence_chunks=config.min_silence_chunks,
+        min_speech_chunks=config.min_speech_chunks,
+    )
+    closed = np.asarray(closed)  # [T, B]
+    seg_start = np.asarray(seg_start)
+    seg_end = np.asarray(seg_end)
+    triggered = np.asarray(final_state.triggered)
+    open_start = np.asarray(final_state.speech_start)
+
+    spc = config.seconds_per_chunk
+    pad = config.speech_pad_s
+    out: list[list[tuple[float, float]]] = []
+    for i in range(n_streams):
+        raw = [
+            (int(seg_start[t, i]), int(seg_end[t, i]))
+            for t in np.nonzero(closed[:, i])[0]
+        ]
+        # EOF snap of a still-open segment (reference vadc.c:1005-1027)
+        if triggered[i]:
+            last_chunk = n_chunks - 1
+            if last_chunk - int(open_start[i]) > config.min_speech_chunks:
+                raw.append((int(open_start[i]), last_chunk))
+        # pad + merge
+        merged: list[tuple[float, float]] = []
+        for start_c, end_c in raw:
+            start_s = max(start_c * spc - pad, 0.0)
+            end_s = end_c * spc + pad
+            if merged and merged[-1][1] >= start_s:
+                merged[-1] = (merged[-1][0], end_s)
+            else:
+                merged.append((start_s, end_s))
+        out.append(merged)
+    return out

@@ -1,0 +1,84 @@
+"""Silero VAD v3.1 16 kHz — full forward pass in pure JAX.
+
+Pipeline (reference silero_run_one_batch_with_context, silero_v3.c:72-215;
+Silero_V3.forward, silero_vad.py:262-272):
+
+    audio [B, S] --reflect pad 128/128, hop 64--> STFT magnitude [B, 129, 25]
+    -> adaptive audio normalization
+    -> 4 encoder stages (ConvBlock + TransformerBlock + strided 1x1 conv + BN
+       + ReLU), conv strides 2,2,1,1  -> [B, 64, 7]
+    -> 2-layer LSTM (hidden 64, fused ih|hh weights, pre-summed biases)
+    -> decoder: relu -> 1x1 conv 64->2 -> frame mean -> sigmoid
+    -> speech probability = channel 1
+
+Two LSTM batch semantics are exposed:
+  * `forward` — each batch row is an INDEPENDENT stream with its own (h, c)
+    stack [2, B, 64]. This is the TPU-native multi-stream hot path.
+  * `forward_minibatched` — the reference driver's semantics: the batch axis
+    holds consecutive chunks of ONE stream, flattened through the LSTM so
+    state threads chunk-to-chunk ((h, c) are [2, 1, 64]); used for
+    golden-parity with the reference CLI (vadc.c:56-103).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vadc_tpu.nn import functional as F
+from vadc_tpu.models.weights import V3_STRIDES
+
+SAMPLE_RATE = 16000
+CHUNK_SAMPLES_DEFAULT = 1536  # 96 ms; any multiple of 256 in [512, 1536] works
+NUM_LSTM_LAYERS = 2
+HIDDEN = 64
+STFT_PAD = 128
+STFT_HOP = 64
+
+
+def init_state(n_streams: int) -> tuple[jax.Array, jax.Array]:
+    """Zero LSTM state for a batch of independent streams: (h, c) [2, B, 64]."""
+    shape = (NUM_LSTM_LAYERS, n_streams, HIDDEN)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def encode(params: dict, audio: jax.Array) -> jax.Array:
+    """Front-end: audio [B, S] -> encoder features [B, 64, S//256 + 1]."""
+    spect = F.stft_magnitude(
+        audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
+    )
+    x = F.adaptive_audio_normalization(spect)
+    for layer_params, stride in zip(params["layers"], V3_STRIDES):
+        x = F.transformer_layer(x, layer_params, stride=stride)
+    return x
+
+
+def forward(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched independent-stream forward.
+
+    audio: [B, S]; h, c: [2, B, 64]. Returns (probs [B], hn, cn).
+    """
+    feats = encode(params, audio)  # [B, 64, T]
+    out, hn, cn = F.lstm(
+        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+    )
+    dec = F.decoder_v3(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    return dec[:, 1, 0], hn, cn
+
+
+def forward_minibatched(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Reference-parity forward: batch rows are consecutive chunks of ONE
+    stream; LSTM state threads through them sequentially.
+
+    audio: [N, S]; h, c: [2, 1, 64]. Returns (probs [N], hn, cn).
+    """
+    feats = encode(params, audio)  # [N, 64, T]
+    out, hn, cn = F.lstm_minibatched(
+        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+    )
+    dec = F.decoder_v3(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    return dec[:, 1, 0], hn, cn

@@ -1,0 +1,122 @@
+"""Silero VAD v4 — pure-JAX forward.
+
+v4 differs from v3.1 (reference Silero_V4, silero_vad.py:191-236):
+  * STFT reflect-pads (n_fft - hop)/2 = 96 on both sides (silero_vad.py:13);
+  * the first conv block consumes cat([spect, normalized]) — 258 channels;
+  * encoder stages have NO transformer blocks (ConvBlock + strided 1x1 conv +
+    BatchNorm + ReLU only); at 16 kHz stage 3's conv uses stride 2;
+  * the LSTM lives in a decoder dict; the decoder head is 1-logit
+    (relu -> conv 64->1 -> sigmoid -> frame mean).
+
+Param schema (produced by vadc_tpu.export): `stft_basis`, four stage groups
+`stage{1..4}.*` with the same keys as v3 minus attention/norm/linear, fused
+`lstm_w`/`lstm_b`, `dec_w`/`dec_b`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vadc_tpu.nn import functional as F
+from vadc_tpu.models.weights import V4_STRIDES_16K, V4_STRIDES_8K, _canon
+
+SAMPLE_RATE = 16000
+NUM_LSTM_LAYERS = 2
+HIDDEN = 64
+STFT_PAD = 96
+STFT_HOP = 64
+
+_STAGE_KEYS = {
+    "dw_w": ("dw_conv_weights", "dw"),
+    "dw_b": ("dw_conv_biases", None),
+    "pw_w": ("pw_conv_weights", "pw"),
+    "pw_b": ("pw_conv_biases", None),
+    "proj_w": ("proj_weights", "pw"),
+    "proj_b": ("proj_biases", None),
+    "conv_w": ("conv_weights", "pw"),
+    "conv_b": ("conv_biases", None),
+    "bn_w": ("batch_norm_weights", None),
+    "bn_b": ("batch_norm_biases", None),
+    "bn_mean": ("batch_norm_running_mean", None),
+    "bn_var": ("batch_norm_running_var", None),
+}
+
+
+def silero_v4_params(tensors: dict[str, np.ndarray], sample_rate: int = 16000) -> dict:
+    basis = np.asarray(tensors["forward_basis_buffer"])
+    stages = []
+    for i in (1, 2, 3, 4):
+        p: dict = {}
+        for out_key, (name, kind) in _STAGE_KEYS.items():
+            full = f"stage{i}.{name}"
+            if full not in tensors:
+                if out_key in ("proj_w", "proj_b"):
+                    continue
+                raise KeyError(f"missing weight tensor {full!r}")
+            p[out_key] = _canon(np.asarray(tensors[full]), kind)
+        stages.append(p)
+    return {
+        "stft_basis": jnp.asarray(basis.reshape(basis.shape[0], -1), jnp.float32),
+        "stages": stages,
+        "lstm_w": jnp.asarray(tensors["weights"], jnp.float32),
+        "lstm_b": jnp.asarray(tensors["biases"], jnp.float32),
+        "dec_w": _canon(np.asarray(tensors["decoder_weights"]), "pw"),
+        "dec_b": jnp.asarray(tensors["decoder_biases"], jnp.float32),
+        "sample_rate": sample_rate,
+    }
+
+
+def init_state(n_streams: int) -> tuple[jax.Array, jax.Array]:
+    shape = (NUM_LSTM_LAYERS, n_streams, HIDDEN)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def conv_stage(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
+    """v4 encoder stage: ConvBlock -> strided 1x1 conv -> BatchNorm -> ReLU
+    (a v3 transformer_layer with the transformer block removed)."""
+    h = F.conv_block(
+        x, p["dw_w"], p["dw_b"], p["pw_w"], p["pw_b"], p.get("proj_w"), p.get("proj_b")
+    )
+    h = F.pointwise_conv(h, p["conv_w"], p["conv_b"], stride=stride)
+    h = F.batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
+    return jax.nn.relu(h)
+
+
+def encode(params: dict, audio: jax.Array) -> jax.Array:
+    spect = F.stft_magnitude(
+        audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
+    )
+    normalized = F.adaptive_audio_normalization(spect)
+    x = jnp.concatenate([spect, normalized], axis=1)  # [B, 258, F]
+    strides = (
+        V4_STRIDES_16K if params.get("sample_rate", 16000) == 16000 else V4_STRIDES_8K
+    )
+    for stage_params, stride in zip(params["stages"], strides):
+        x = conv_stage(x, stage_params, stride=stride)
+    return x
+
+
+def forward(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Independent-stream forward. audio [B, S]; h, c [2, B, 64] -> probs [B]."""
+    feats = encode(params, audio)
+    out, hn, cn = F.lstm(
+        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+    )
+    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    return probs[:, 0], hn, cn
+
+
+def forward_minibatched(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Chunks-of-one-stream forward; h, c [2, 1, 64]."""
+    feats = encode(params, audio)
+    out, hn, cn = F.lstm_minibatched(
+        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+    )
+    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    return probs[:, 0], hn, cn

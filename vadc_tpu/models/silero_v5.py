@@ -1,0 +1,111 @@
+"""Silero VAD v5 — pure-JAX forward.
+
+v5 architecture (reference Silero_Vad_5, silero_vad.py:367-433):
+  * each chunk is 512 samples prefixed with the previous chunk's last 64
+    samples (the "context") -> 576-sample model input;
+  * STFT: reflect pad right-only 64, hop 128 (STFT_conv2,
+    silero_vad.py:290-313) -> [B, 129, 4] frames;
+  * encoder: 4 reparameterized k=3 convs (MobileOneBlock), shapes
+    (128,129,3)/s1, (64,128,3)/s2, (64,64,3)/s2, (128,64,3)/s1, each + ReLU
+    -> [B, 128, 1];
+  * 1-layer LSTM hidden 128;
+  * decoder: relu -> conv 128->1 -> sigmoid -> frame mean.
+
+Param schema: `stft_basis`, `enc{1..4}.w` [O, I, 3] / `enc{1..4}.b` [O],
+fused `lstm_w` [1, 512, 256] / `lstm_b` [1, 512], `dec_w`/`dec_b`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vadc_tpu.nn import functional as F
+from vadc_tpu.models.weights import _canon
+
+SAMPLE_RATE = 16000
+CONTEXT_SAMPLES = 64  # reference SILERO_V5_CONTEXT_SIZE (vadc.h:90)
+WINDOW_SAMPLES = 512
+NUM_LSTM_LAYERS = 1
+HIDDEN = 128
+STFT_PAD_RIGHT = 64
+STFT_HOP = 128
+
+ENCODER_STRIDES = (1, 2, 2, 1)
+
+
+def silero_v5_params(tensors: dict[str, np.ndarray]) -> dict:
+    basis = np.asarray(tensors["forward_basis_buffer"])
+    enc = []
+    for i in (1, 2, 3, 4):
+        enc.append(
+            {
+                "w": jnp.asarray(tensors[f"enc{i}.weight"], jnp.float32),
+                "b": jnp.asarray(tensors[f"enc{i}.bias"], jnp.float32),
+            }
+        )
+    return {
+        "stft_basis": jnp.asarray(basis.reshape(basis.shape[0], -1), jnp.float32),
+        "encoder": enc,
+        "lstm_w": jnp.asarray(tensors["weights"], jnp.float32),
+        "lstm_b": jnp.asarray(tensors["biases"], jnp.float32),
+        "dec_w": _canon(np.asarray(tensors["decoder_weights"]), "pw"),
+        "dec_b": jnp.asarray(tensors["decoder_biases"], jnp.float32),
+    }
+
+
+def init_state(n_streams: int) -> tuple[jax.Array, jax.Array]:
+    shape = (NUM_LSTM_LAYERS, n_streams, HIDDEN)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def init_context(n_streams: int) -> jax.Array:
+    """Zero 64-sample audio context carried between consecutive chunks."""
+    return jnp.zeros((n_streams, CONTEXT_SAMPLES), jnp.float32)
+
+
+def encode(params: dict, audio: jax.Array) -> jax.Array:
+    """audio [B, 576] (context + window) -> [B, 128, frames]."""
+    spect = F.stft_magnitude(
+        audio, params["stft_basis"], pad_left=0, pad_right=STFT_PAD_RIGHT, hop=STFT_HOP
+    )
+    x = spect
+    for p, stride in zip(params["encoder"], ENCODER_STRIDES):
+        x = jax.nn.relu(F.conv1d(x, p["w"], p["b"], stride=stride, padding=1))
+    return x
+
+
+def forward(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Independent-stream forward. audio [B, 576]; h, c [1, B, 128]."""
+    feats = encode(params, audio)
+    out, hn, cn = F.lstm(
+        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+    )
+    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    return probs[:, 0], hn, cn
+
+
+def forward_minibatched(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Chunks-of-one-stream forward; h, c [1, 1, 128]."""
+    feats = encode(params, audio)
+    out, hn, cn = F.lstm_minibatched(
+        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+    )
+    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    return probs[:, 0], hn, cn
+
+
+def attach_context(chunks: jax.Array, context: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Prefix each chunk with the previous chunk's 64-sample tail.
+
+    chunks: [B, 512] new audio per stream; context: [B, 64] carried tail.
+    Returns (model input [B, 576], new context [B, 64]). Reference:
+    process_chunks_v5 (vadc.c:105-162), chunks_v5_from_raw_int16 (utils.py:277-283).
+    """
+    inp = jnp.concatenate([context, chunks], axis=-1)
+    return inp, chunks[:, -CONTEXT_SAMPLES:]

@@ -1,0 +1,133 @@
+"""Weight schemas: named .testtensor archives -> model param pytrees.
+
+The v3.1 weight archive layout (99 tensors) is the one produced by the
+reference export path (reference utils.py:194-232, consumed by
+tensor.h:114-191): `forward_basis_buffer`, four `transformer_l{1..4}.*`
+groups (l3 has no conv-block projection), fused LSTM `weights`/`biases`,
+and `decoder_weights`/`decoder_biases`.
+
+Model family detection mirrors the reference's ONNX introspection heuristic
+(onnx_helpers.c:154-161): LSTM hidden size 128 => v5; a 258-channel first
+conv block => v4; otherwise v3.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from vadc_tpu.io.testtensor import load_testtensor
+
+# Encoder stage conv strides for v3 (reference tensor.h:158-161).
+V3_STRIDES = (2, 2, 1, 1)
+# v4 16 kHz uses stride 2 on stage 3 as well (silero_vad.py:175-178).
+V4_STRIDES_16K = (2, 2, 2, 1)
+V4_STRIDES_8K = (2, 2, 1, 1)
+
+_TRANSFORMER_KEYS = {
+    "dw_w": ("dw_conv_weights", "dw"),
+    "dw_b": ("dw_conv_biases", None),
+    "pw_w": ("pw_conv_weights", "pw"),
+    "pw_b": ("pw_conv_biases", None),
+    "proj_w": ("proj_weights", "pw"),
+    "proj_b": ("proj_biases", None),
+    "qkv_w": ("attention_weights", None),
+    "qkv_b": ("attention_biases", None),
+    "att_proj_w": ("attention_proj_weights", None),
+    "att_proj_b": ("attention_proj_biases", None),
+    "norm1_w": ("norm1_weights", None),
+    "norm1_b": ("norm1_biases", None),
+    "lin1_w": ("linear1_weights", None),
+    "lin1_b": ("linear1_biases", None),
+    "lin2_w": ("linear2_weights", None),
+    "lin2_b": ("linear2_biases", None),
+    "norm2_w": ("norm2_weights", None),
+    "norm2_b": ("norm2_biases", None),
+    "conv_w": ("conv_weights", "pw"),
+    "conv_b": ("conv_biases", None),
+    "bn_w": ("batch_norm_weights", None),
+    "bn_b": ("batch_norm_biases", None),
+    "bn_mean": ("batch_norm_running_mean", None),
+    "bn_var": ("batch_norm_running_var", None),
+}
+
+
+def _canon(arr: np.ndarray, kind: str | None) -> jnp.ndarray:
+    """Canonicalize a raw weight: squeeze conv kernel dims to matmul shapes."""
+    if kind == "dw":
+        # [C, 1, 5] or [C, 5] -> [C, 5]
+        arr = arr.reshape(arr.shape[0], -1)
+    elif kind == "pw":
+        # [O, C, 1] or [O, C] -> [O, C]
+        arr = arr.reshape(arr.shape[0], -1)
+    return jnp.asarray(arr, dtype=jnp.float32)
+
+
+def transformer_layer_params(
+    tensors: dict[str, np.ndarray], prefix: str = ""
+) -> dict:
+    """Extract one encoder-stage param group; `proj_*` are absent for stages
+    without a conv-block projection (v3.1 stage 3)."""
+    p: dict = {}
+    for out_key, (name, kind) in _TRANSFORMER_KEYS.items():
+        full = f"{prefix}{name}"
+        if full not in tensors:
+            if out_key in ("proj_w", "proj_b"):
+                continue
+            raise KeyError(f"missing weight tensor {full!r}")
+        p[out_key] = _canon(tensors[full], kind)
+    return p
+
+
+def silero_v31_params(tensors: dict[str, np.ndarray]) -> dict:
+    """Build the Silero v3.1 param pytree from the 99-tensor archive."""
+    basis = np.asarray(tensors["forward_basis_buffer"])
+    params = {
+        "stft_basis": jnp.asarray(basis.reshape(basis.shape[0], -1), jnp.float32),
+        "layers": [
+            transformer_layer_params(tensors, f"transformer_l{i}.")
+            for i in (1, 2, 3, 4)
+        ],
+        "lstm_w": jnp.asarray(tensors["weights"], jnp.float32),
+        "lstm_b": jnp.asarray(tensors["biases"], jnp.float32),
+        "dec_w": _canon(np.asarray(tensors["decoder_weights"]), "pw"),
+        "dec_b": jnp.asarray(tensors["decoder_biases"], jnp.float32),
+    }
+    return params
+
+
+def detect_model_family(tensors: dict[str, np.ndarray]) -> str:
+    """Classify a weight archive as 'v3', 'v4', or 'v5'.
+
+    Mirrors the reference's model introspection (onnx_helpers.c:154-161,
+    277-312): LSTM hidden 128 => v5; v4 is v3-shaped but its first conv block
+    consumes 258 channels (cat[spect, normalized]) and has no transformer
+    blocks.
+    """
+    if "weights" in tensors and tensors["weights"].shape[-1] == 256:
+        # fused [L, 4H, 2H] with H=128 -> 2H=256... careful: v3 H=64 -> 2H=128
+        return "v5"
+    if "decoder.rnn.weight_ih_l0" in tensors:
+        h = tensors["decoder.rnn.weight_ih_l0"].shape[0] // 4
+        return "v5" if h == 128 else "v4"
+    for name in tensors:
+        if "first_layer" in name and tensors[name].shape[-2:] == (258, 1):
+            return "v4"
+    return "v3"
+
+
+def load_params(path: str | Path) -> tuple[str, dict]:
+    """Load a .testtensor weight archive, returning (family, params)."""
+    tensors = load_testtensor(path)
+    family = detect_model_family(tensors)
+    if family == "v3":
+        return family, silero_v31_params(tensors)
+    if family == "v5":
+        from vadc_tpu.models.silero_v5 import silero_v5_params
+
+        return family, silero_v5_params(tensors)
+    from vadc_tpu.models.silero_v4 import silero_v4_params
+
+    return family, silero_v4_params(tensors)

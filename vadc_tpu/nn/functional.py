@@ -1,0 +1,418 @@
+"""Pure-JAX NN ops for the Silero VAD model families.
+
+These are the correctness oracles for the whole framework: every op matches
+the reference semantics (cited per-function) and is validated against the
+reference's golden `.testtensor` fixtures at fp32. Pallas TPU kernels in
+`vadc_tpu.kernels` fuse hot combinations of these; this module stays the
+plain-XLA reference path.
+
+Conventions:
+  * activations are NCL — [batch, channels, length] — except where noted,
+    matching the reference layout so golden fixtures apply directly;
+  * all contractions run at `lax.Precision.HIGHEST` (full fp32 on the MXU)
+    because the fidelity contract is max-abs-error against fp32 references
+    (reference test.c:148-168 uses atol-only comparison);
+  * everything here is functional and jit/vmap/scan-safe: no data-dependent
+    Python control flow, static shapes only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+HIGHEST = lax.Precision.HIGHEST
+
+# 7-tap smoothing filter of AdaptiveAudioNormalization. The reference embeds
+# these constants directly (reference misc.c:5-13); they come from the Silero
+# v3 jit checkpoint's `adaptive_normalization.filter_` buffer.
+ADAPTIVE_NORM_FILTER = (
+    0.03663284704089164733887,
+    0.11128076165914535522461,
+    0.21674531698226928710938,
+    0.27068215608596801757812,
+    0.21674531698226928710938,
+    0.11128076165914535522461,
+    0.03663284704089164733887,
+)
+
+LAYER_NORM_EPS = 1e-5
+BATCH_NORM_EPS = 1e-5
+
+
+def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """`x @ w.T + b` with PyTorch weight convention w: [out, in].
+
+    Reference: tensor_linear, tensor.h:675-723.
+    """
+    y = jnp.matmul(x, w.T, precision=HIGHEST)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def reflect_pad_last(x: jax.Array, left: int, right: int) -> jax.Array:
+    """Reflect-pad the last dim (edge excluded, PyTorch 'reflect' semantics).
+
+    Reference: tensor_reflect_pad_last_dim_lr, tensor.h:912-958.
+    """
+    pad = [(0, 0)] * (x.ndim - 1) + [(left, right)]
+    return jnp.pad(x, pad, mode="reflect")
+
+
+def stft_magnitude(
+    audio: jax.Array,
+    basis: jax.Array,
+    *,
+    pad_left: int,
+    pad_right: int,
+    hop: int,
+) -> jax.Array:
+    """Short-time Fourier magnitude via a Fourier-basis conv1d.
+
+    audio: [B, samples]; basis: [n_fft+2, n_fft] precomputed windowed Fourier
+    filters (real filters then imaginary, split at cutoff = n_fft//2 + 1).
+    Returns [B, cutoff, frames].
+
+    v3/v4 reflect-pad symmetrically, v5 pads right-only (reference stft.c:15-224,
+    silero_vad.py:21-46 and 290-313). Implemented as frame extraction + one MXU
+    matmul: frames [B, F, n_fft] x basis.T [n_fft, n_fft+2], which keeps the
+    FLOPs in a single large jnp.dot instead of a skinny conv.
+    """
+    n_filters, n_fft = basis.shape
+    cutoff = n_fft // 2 + 1
+    padded = reflect_pad_last(audio, pad_left, pad_right)
+    frames = _frame(padded, n_fft, hop)  # [B, F, n_fft]
+    spec = jnp.einsum("bfn,cn->bcf", frames, basis, precision=HIGHEST)
+    real = spec[:, :cutoff, :]
+    imag = spec[:, cutoff:, :]
+    return jnp.sqrt(real * real + imag * imag)
+
+
+def _frame(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
+    """Extract overlapping frames from [B, L] -> [B, F, frame_len]."""
+    batch, length = x.shape
+    num_frames = (length - frame_len) // hop + 1
+    starts = jnp.arange(num_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_len)[None, :]
+    return x[:, idx]
+
+
+def accurate_log1p(y: jax.Array) -> jax.Array:
+    """fp32 log1p to ~1 ulp for y >= 0 (XLA's builtin log is only ~6e-6 rel).
+
+    Classic fdlibm construction, all VPU-friendly ops (works inside Pallas):
+    z = 1+y split into 2^e * m with m in [sqrt(1/2), sqrt(2)); log(m) via the
+    atanh series in t = (m-1)/(m+1); ln2 applied as a hi/lo two-constant sum.
+    Needed because the adaptive-normalization contract is max-abs-error <=1e-4
+    against fp64-accurate references over log values up to ~18.
+    """
+    z = 1.0 + y
+    bits = lax.bitcast_convert_type(z, jnp.int32)
+    e = (bits >> 23) - 127
+    m = lax.bitcast_convert_type(
+        (bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000), jnp.float32
+    )
+    # renormalize m into [sqrt(1/2), sqrt(2)) so |t| <= 0.1716
+    big = m > 1.4142135
+    m = jnp.where(big, m * 0.5, m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    # 2*atanh(t) = 2t(1 + t^2/3 + t^4/5 + t^6/7 + t^8/9 + t^10/11)
+    poly = 1.0 + t2 * (
+        1.0 / 3.0 + t2 * (0.2 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0 + t2 * (1.0 / 11.0))))
+    )
+    log_m = 2.0 * t * poly
+    ln2_hi = jnp.float32(0.693359375)  # exact in fp32
+    ln2_lo = jnp.float32(-2.12194440e-4)
+    return e * ln2_hi + (log_m + e * ln2_lo)
+
+
+def adaptive_audio_normalization(spect: jax.Array) -> jax.Array:
+    """log1p-rescale then subtract a smoothed per-batch mean loudness scalar.
+
+    spect: [B, C, F]. Matches AdaptiveAudioNormalization (reference misc.c:1-124,
+    silero_vad.py:49-64): spect_e = log1p(spect * 2**20); per-frame mean over
+    channels; reflect-pad 3 and smooth with the fixed 7-tap filter; mean over
+    frames; subtract that scalar from the whole spectrogram.
+    """
+    spect_e = accurate_log1p(spect * 1048576.0)
+    mean = jnp.mean(spect_e, axis=1, keepdims=True)  # [B, 1, F]
+    mean_padded = reflect_pad_last(mean, 3, 3)
+    taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
+    smoothed = _frame(mean_padded[:, 0, :], 7, 1) @ taps  # [B, F]
+    mean_mean = jnp.mean(smoothed, axis=-1)[:, None, None]  # [B, 1, 1]
+    return spect_e - mean_mean
+
+
+def depthwise_conv5(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Depthwise conv1d, kernel 5, zero-pad 2, stride 1.
+
+    x: [B, C, L]; w: [C, 5]; b: [C]. Reference: dw_conv_tensor /
+    convolve_k5_pad2, conv.c:17-113 (PyTorch cross-correlation semantics).
+    Expressed as a sum of 5 shifted scales — pure VPU work that XLA fuses into
+    a handful of elementwise ops, cheaper than a grouped-conv lowering for
+    kernel width 5.
+    """
+    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 2)))
+    length = x.shape[-1]
+    y = jnp.zeros_like(x)
+    for k in range(5):
+        y = y + xp[:, :, k : k + length] * w[None, :, k, None]
+    return y + b[None, :, None]
+
+
+def pointwise_conv(x: jax.Array, w: jax.Array, b: jax.Array | None, stride: int = 1) -> jax.Array:
+    """Kernel-1 conv1d = channel matmul (optionally strided).
+
+    x: [B, C, L]; w: [O, C]; b: [O]. Reference: conv_tensor kernel-1 fast path,
+    conv.c:532-589.
+    """
+    if stride != 1:
+        x = x[:, :, ::stride]
+    y = jnp.einsum("oc,bcl->bol", w, x, precision=HIGHEST)
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
+def conv1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+) -> jax.Array:
+    """General NCL conv1d (cross-correlation, PyTorch convention).
+
+    x: [B, C, L]; w: [O, C/groups, K]; b: [O]. Reference: conv_tensor,
+    conv.c:115-712.
+    """
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        precision=HIGHEST,
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
+def conv_block(
+    x: jax.Array,
+    dw_w: jax.Array,
+    dw_b: jax.Array,
+    pw_w: jax.Array,
+    pw_b: jax.Array,
+    proj_w: jax.Array | None,
+    proj_b: jax.Array | None,
+) -> jax.Array:
+    """relu(pw_conv(relu(dw_conv(x))) + proj(x)).
+
+    proj is a pointwise channel projection when in/out channel counts differ,
+    identity otherwise. Reference: conv_block, conv.c:761-814; ConvBlock,
+    silero_vad.py:66-89.
+    """
+    h = jax.nn.relu(depthwise_conv5(x, dw_w, dw_b))
+    h = pointwise_conv(h, pw_w, pw_b)
+    if proj_w is not None:
+        h = h + pointwise_conv(x, proj_w, proj_b)
+    else:
+        h = h + x
+    return jax.nn.relu(h)
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """LayerNorm over the last dim, eps 1e-5, biased variance.
+
+    Reference: layer_norm, misc.c:143-210.
+    """
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = lax.rsqrt(var + LAYER_NORM_EPS)
+    return (x - mean) * inv * w + b
+
+
+def batch_norm1d(
+    x: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Inference BatchNorm1d over channel dim of [B, C, L], eps 1e-5.
+
+    Reference: batch_norm1d, misc.c:221-258.
+    """
+    inv = lax.rsqrt(running_var + BATCH_NORM_EPS)
+    scale = (w * inv)[None, :, None]
+    shift = (b - running_mean * w * inv)[None, :, None]
+    return x * scale + shift
+
+
+def attention(
+    x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array,
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    *,
+    n_heads: int = 2,
+) -> jax.Array:
+    """Silero's 2-head self-attention — with its idiosyncratic k.q^T order.
+
+    x: [B, S, D]. alpha = softmax(k @ q^T / sqrt(head_dim)); out = alpha @ v.
+    Note the score matrix is k-major (NOT the usual q-major): this matches
+    MultiHeadAttention.forward (silero_vad.py:102-124) and dual_head_attention
+    (reference transformer.c:13-153) exactly, and is not equivalent to the
+    standard orientation because softmax normalizes over the q axis.
+    """
+    bsz, seq, dim = x.shape
+    head_dim = dim // n_heads
+    qkv = linear(x, qkv_w, qkv_b)  # [B, S, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        # [B, S, D] -> [B, heads, S, head_dim]
+        return t.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    scores = jnp.einsum("bhsd,bhtd->bhst", k, q, precision=HIGHEST)
+    alpha = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(head_dim)), axis=-1)
+    out = jnp.einsum("bhst,bhtd->bhsd", alpha, v, precision=HIGHEST)
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+    return linear(out, proj_w, proj_b)
+
+
+def transformer_block(x: jax.Array, p: dict) -> jax.Array:
+    """Post-norm transformer block over [B, C, S] (permutes to seq-major inside).
+
+    x -> x + attn(x) -> LN1 -> x + linear2(relu(linear1(x))) -> LN2.
+    Reference: transformer_block, transformer.c:160-234; TransformerLayer.forward,
+    silero_vad.py:141-155 (dropouts are inference no-ops).
+    """
+    h = x.transpose(0, 2, 1)  # [B, S, C]
+    h = h + attention(
+        h, p["qkv_w"], p["qkv_b"], p["att_proj_w"], p["att_proj_b"]
+    )
+    h = layer_norm(h, p["norm1_w"], p["norm1_b"])
+    ff = linear(jax.nn.relu(linear(h, p["lin1_w"], p["lin1_b"])), p["lin2_w"], p["lin2_b"])
+    h = layer_norm(h + ff, p["norm2_w"], p["norm2_b"])
+    return h.transpose(0, 2, 1)
+
+
+def transformer_layer(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
+    """One encoder stage: ConvBlock -> TransformerBlock -> strided 1x1 conv ->
+    BatchNorm -> ReLU.
+
+    Reference: transformer_layer, transformer.c:237-295 (the reference's
+    regrouping of the PyTorch encoder stages, silero_vad.py:157-189).
+    """
+    h = conv_block(
+        x, p["dw_w"], p["dw_b"], p["pw_w"], p["pw_b"], p.get("proj_w"), p.get("proj_b")
+    )
+    h = transformer_block(h, p)
+    h = pointwise_conv(h, p["conv_w"], p["conv_b"], stride=stride)
+    h = batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
+    return jax.nn.relu(h)
+
+
+def lstm_cell(
+    x: jax.Array,
+    h: jax.Array,
+    c: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One LSTM step. x,h,c: [B, H]; w: [4H, 2H] (fused ih|hh); b: [4H]
+    (pre-summed ih+hh). Gate order i,f,g,o (PyTorch).
+
+    Reference: lstm_cell, lstm.c:31-95; bias fusion utils.py:93-107.
+    """
+    gates = jnp.matmul(jnp.concatenate([x, h], axis=-1), w.T, precision=HIGHEST) + b
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm(
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-layer LSTM over a sequence, batched.
+
+    x: [B, T, H]; h0, c0: [L, B, H]; w: [L, 4H, 2H]; b: [L, 4H].
+    Returns (output [B, T, H] from the top layer, hn [L, B, H], cn [L, B, H]).
+
+    lax.scan over time with the (h, c) stack as carry — the TPU-native shape
+    of the reference's double-buffered sequential loop (lstm_seq,
+    lstm.c:156-218). All layers advance within one scan step (layer loop is
+    unrolled; layer count is 1 or 2 in every Silero variant).
+    """
+    num_layers = w.shape[0]
+
+    def step(carry, x_t):
+        hs, cs = carry
+        new_h, new_c = [], []
+        inp = x_t
+        for layer in range(num_layers):
+            h_l, c_l = lstm_cell(inp, hs[layer], cs[layer], w[layer], b[layer])
+            new_h.append(h_l)
+            new_c.append(c_l)
+            inp = h_l
+        return (jnp.stack(new_h), jnp.stack(new_c)), inp
+
+    (hn, cn), out = lax.scan(step, (h0, c0), x.transpose(1, 0, 2))
+    return out.transpose(1, 0, 2), hn, cn
+
+
+def lstm_minibatched(
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Reference 'minibatched' LSTM: chunks of ONE stream flattened to a single
+    long sequence so recurrent state threads chunk-to-chunk.
+
+    x: [N_chunks, T, H]; h0, c0: [L, 1, H]. The chunk axis is NOT an
+    independent batch (reference lstm.c:228-341, silero_vad.py:231-236).
+    """
+    n, t, feat = x.shape
+    out, hn, cn = lstm(x.reshape(1, n * t, feat), h0, c0, w, b)
+    return out.reshape(n, t, feat), hn, cn
+
+
+def decoder_v3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """v3 decoder: relu -> 1x1 conv (64->2) -> mean over frames -> sigmoid.
+
+    x: [B, 64, T]; w: [2, 64]; b: [2]. Returns [B, 2, 1]; speech probability
+    is channel 1. Reference: decoder_tensor, silero_v3.c:231-303; decoder
+    Sequential, silero_vad.py:255-260 (AdaptiveAvgPool1d(1) == mean over T).
+    """
+    h = pointwise_conv(jax.nn.relu(x), w, b)
+    return jax.nn.sigmoid(jnp.mean(h, axis=-1, keepdims=True))
+
+
+def decoder_v5(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """v4/v5 decoder: relu -> 1x1 conv (C->1) -> sigmoid -> mean over frames.
+
+    x: [B, C, T]; w: [1, C]; b: [1]. Returns [B, 1]. Reference: make_decoder /
+    Silero_Vad_5.forward, silero_vad.py:331-341 and 421-424 (dropout is an
+    inference no-op; the sigmoid precedes the frame mean).
+    """
+    h = jax.nn.sigmoid(pointwise_conv(jax.nn.relu(x), w, b))
+    return jnp.mean(h[:, 0, :], axis=-1, keepdims=True)
