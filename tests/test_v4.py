@@ -1,0 +1,104 @@
+"""Silero v4 tests: ONNX extraction structure, torch-oracle cross-check, and
+a behavioral end-to-end check on speech-like audio (validating the graph
+mapping, which no oracle sharing the same weights can catch)."""
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import assert_close
+from vadc_tpu.io.testtensor import load_testtensor
+from vadc_tpu.models import silero_v4
+from vadc_tpu.models.weights import detect_model_family
+from vadc_tpu.models.silero_v4 import silero_v4_params
+
+V4_ONNX = Path("/root/reference/silero_vad_v4.onnx")
+BUNDLED = Path(__file__).resolve().parent.parent / "vadc_tpu" / "data" / "silero_v4_16k.testtensor"
+
+
+@pytest.fixture(scope="module")
+def v4_tensors():
+    if BUNDLED.exists():
+        return load_testtensor(BUNDLED)
+    if not V4_ONNX.exists():
+        pytest.skip("no v4 weights available")
+    from vadc_tpu.export.silero_v4_from_onnx import extract_silero_v4
+
+    return extract_silero_v4(V4_ONNX)
+
+
+@pytest.fixture(scope="module")
+def v4_params(v4_tensors):
+    return silero_v4_params(v4_tensors)
+
+
+def test_extraction_structure(v4_tensors):
+    assert detect_model_family(v4_tensors) == "v4"
+    assert v4_tensors["forward_basis_buffer"].shape == (258, 1, 256)
+    assert v4_tensors["stage1.dw_conv_weights"].shape == (258, 1, 5)
+    assert "stage3.proj_weights" not in v4_tensors  # stage 3 has no projection
+    assert v4_tensors["weights"].shape == (2, 256, 128)
+    assert v4_tensors["decoder_weights"].shape == (1, 64, 1)
+
+
+def test_forward_shapes(v4_params):
+    audio = jnp.zeros((2, 1536), jnp.float32)
+    h, c = silero_v4.init_state(2)
+    probs, hn, cn = silero_v4.forward(v4_params, audio, h, c)
+    assert probs.shape == (2,)
+    assert hn.shape == (2, 2, 64)
+    assert float(probs.max()) < 0.5  # silence is not speech
+
+
+def test_vs_torch_oracle(v4_params):
+    torch_oracle = pytest.importorskip("tests.torch_oracle")
+    rng = np.random.default_rng(21)
+    h, c = silero_v4.init_state(3)
+    oh, oc = np.asarray(h), np.asarray(c)
+    for step in range(2):
+        audio = (rng.normal(size=(3, 1536)) * 0.1).astype(np.float32)
+        probs, h, c = silero_v4.forward(v4_params, jnp.asarray(audio), h, c)
+        ref_probs, oh, oc = torch_oracle.silero_v4_forward(v4_params, audio, oh, oc)
+        assert_close(probs, ref_probs, 1e-3, f"v4 probs step {step}")
+        assert_close(c, oc, 1e-3, f"v4 c step {step}")
+
+
+def _speechlike(duration_s: float, f0: float = 120.0, sr: int = 16000) -> np.ndarray:
+    """Harmonic stack with formant weighting and syllabic AM — reliably
+    classified as speech by the real Silero models."""
+    t = np.arange(int(duration_s * sr)) / sr
+    sig = np.zeros_like(t)
+    for k in range(1, 25):
+        f = k * f0
+        w = (
+            np.exp(-(((f - 500) / 400) ** 2))
+            + 0.7 * np.exp(-(((f - 1500) / 500) ** 2))
+            + 0.3 * np.exp(-(((f - 2500) / 700) ** 2))
+        )
+        sig += w * np.sin(2 * np.pi * f * t + k)
+    sig *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t - np.pi / 2))
+    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+
+
+def test_speech_vs_silence_behavior(v4_params):
+    """Mapping check: extracted weights must yield high probability on
+    speech-like audio and low on near-silence. v4's LSTM needs ~30 chunks of
+    warmup before its speech probability saturates (observed ramp of the
+    official weights), so run a scan over a long signal."""
+    from vadc_tpu.engine.runner import StreamRunner
+
+    n_chunks = 40
+    speech = _speechlike(n_chunks * 1536 / 16000)[: n_chunks * 1536]
+    noise = (
+        np.random.default_rng(0).normal(size=n_chunks * 1536) * 0.001
+    ).astype(np.float32)
+    runner = StreamRunner("v4", v4_params)
+    chunks = jnp.asarray(
+        np.stack([speech.reshape(n_chunks, 1536), noise.reshape(n_chunks, 1536)])
+    )  # [2 streams, T, 1536]
+    probs, _ = runner.scan(chunks, runner.init_state(2))
+    probs = np.asarray(probs)
+    assert probs[0, -10:].min() > 0.6, probs[0]
+    assert probs[1].max() < 0.1, probs[1]

@@ -106,8 +106,45 @@ def lstm_fused(x, h0, c0, w, b):
             c[layer] = f.sigmoid() * c[layer] + i.sigmoid() * g.tanh()
             h[layer] = o.sigmoid() * c[layer].tanh()
             inp = h[layer]
-        outs.append(inp)
+        # clone: h[layer] is a view that later in-place assignments mutate
+        outs.append(inp.clone())
     return torch.stack(outs, dim=1), h, c
+
+
+def silero_v4_forward(params, audio, h, c):
+    """Full v4 forward (16 kHz: stage strides 2,2,2,1; BN folded into convs).
+    Returns (probs, hn, cn) as numpy."""
+    spect = stft_magnitude(audio, params["stft_basis"], 96, 96, 64)
+    normalized = adaptive_norm(spect)
+    x = torch.cat([spect, normalized], dim=1)
+    for p, stride in zip(params["stages"], (2, 2, 2, 1)):
+        x = conv_block(x, p)
+        x = tf.conv1d(x, t(p["conv_w"])[:, :, None], t(p["conv_b"]), stride=stride)
+        x = x.relu()
+    feats = x.permute(0, 2, 1)
+    out, hn, cn = lstm_fused(feats, h, c, params["lstm_w"], params["lstm_b"])
+    dec = tf.conv1d(
+        out.permute(0, 2, 1).relu(), t(params["dec_w"])[:, :, None], t(params["dec_b"])
+    )
+    probs = dec.sigmoid().squeeze(1).mean(dim=-1)
+    return probs.numpy(), hn.numpy(), cn.numpy()
+
+
+def silero_v5_forward(params, audio, h, c):
+    """Full v5 forward: audio [B, 576] (64 context + 512 window), right-only
+    reflect pad 64, hop 128, 4 reparam k3 convs (strides 1,2,2,1), 1-layer
+    LSTM hidden 128, 1-logit decoder. Returns (probs, hn, cn) as numpy."""
+    spect = stft_magnitude(audio, params["stft_basis"], 0, 64, 128)
+    x = spect
+    for p, stride in zip(params["encoder"], (1, 2, 2, 1)):
+        x = tf.conv1d(x, t(p["w"]), t(p["b"]), stride=stride, padding=1).relu()
+    feats = x.permute(0, 2, 1)
+    out, hn, cn = lstm_fused(feats, h, c, params["lstm_w"], params["lstm_b"])
+    dec = tf.conv1d(
+        out.permute(0, 2, 1).relu(), t(params["dec_w"])[:, :, None], t(params["dec_b"])
+    )
+    probs = dec.sigmoid().squeeze(1).mean(dim=-1)
+    return probs.numpy(), hn.numpy(), cn.numpy()
 
 
 def silero_v31_forward(params, audio, h, c, minibatched=False):

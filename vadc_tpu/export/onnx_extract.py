@@ -1,0 +1,257 @@
+"""Extract initializer tensors from .onnx files without the onnx package.
+
+A minimal protobuf wire-format reader covering just what weight extraction
+needs: ModelProto -> GraphProto -> TensorProto initializers, recursing into
+If/Loop subgraphs (the official fused Silero models branch on sample rate).
+
+This replaces the reference's dependency on onnxruntime for v4/v5 weights
+(SURVEY.md §7 "hard parts": read the .onnx protobufs directly rather than
+adding an inference-engine dependency).
+
+Wire format: each field is a varint key (field_number << 3 | wire_type);
+wire types used by ONNX: 0 = varint, 1 = 64-bit, 2 = length-delimited,
+5 = 32-bit.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+# TensorProto.DataType values we decode
+_DTYPES = {
+    1: np.dtype("<f4"),  # FLOAT
+    2: np.dtype("<u1"),  # UINT8
+    3: np.dtype("<i1"),  # INT8
+    6: np.dtype("<i4"),  # INT32
+    7: np.dtype("<i8"),  # INT64
+    10: np.dtype("<f2"),  # FLOAT16
+    11: np.dtype("<f8"),  # DOUBLE
+    9: np.dtype("?"),  # BOOL
+}
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
+    """Yield (field_number, wire_type, value) over a message buffer.
+    Length-delimited values come back as memoryview slices."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val = bytes(buf[pos : pos + 8])
+            pos += 8
+        elif wire == 2:
+            length, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + length]
+            pos += length
+        elif wire == 5:
+            val = bytes(buf[pos : pos + 4])
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_tensor(buf: memoryview) -> tuple[str, np.ndarray] | None:
+    """TensorProto: dims=1, data_type=2, float_data=4, int32_data=5,
+    int64_data=7, name=8, raw_data=9, double_data=10, uint64_data=11."""
+    dims: list[int] = []
+    dtype_code = 1
+    name = ""
+    raw: bytes | None = None
+    typed: list[float | int] = []
+    typed_kind = None
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 0:
+            dims.append(val)
+        elif field == 1 and wire == 2:  # packed dims
+            pos = 0
+            mv = val
+            while pos < len(mv):
+                d, pos = _read_varint(mv, pos)
+                dims.append(d)
+        elif field == 2 and wire == 0:
+            dtype_code = val
+        elif field == 8 and wire == 2:
+            name = bytes(val).decode("utf-8")
+        elif field == 9 and wire == 2:
+            raw = bytes(val)
+        elif field == 4:  # float_data (packed or repeated fixed32)
+            data = bytes(val) if wire == 2 else val
+            typed.extend(np.frombuffer(data, dtype="<f4"))
+            typed_kind = np.dtype("<f4")
+        elif field == 7:  # int64_data (packed varints or single varint)
+            if wire == 0:
+                typed.append(val)
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    typed.append(v)
+            typed_kind = np.dtype("<i8")
+    dtype = _DTYPES.get(dtype_code)
+    if dtype is None:
+        return None
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=dtype)
+    elif typed_kind is not None:
+        arr = np.asarray(typed, dtype=typed_kind)
+    else:
+        arr = np.zeros(0, dtype=dtype)
+    try:
+        arr = arr.reshape(dims)
+    except ValueError:
+        return None
+    return name, arr
+
+
+def _walk_graph(buf: memoryview, out: dict[str, np.ndarray], prefix: str = "") -> None:
+    """GraphProto: node=1, initializer=5. Recurse into node attribute
+    subgraphs (AttributeProto g=6, graphs=11)."""
+    for field, wire, val in _fields(buf):
+        if wire != 2:
+            continue
+        if field == 5:  # initializer
+            parsed = _parse_tensor(val)
+            if parsed is not None:
+                name, arr = parsed
+                out[prefix + name] = arr
+        elif field == 1:  # node -> attributes (field 5) -> subgraphs
+            for nfield, nwire, nval in _fields(val):
+                if nfield == 5 and nwire == 2:  # AttributeProto
+                    for afield, awire, aval in _fields(nval):
+                        if awire == 2 and afield in (6, 11):  # g / graphs
+                            _walk_graph(aval, out, prefix)
+
+
+class OnnxNode:
+    """op_type + inputs/outputs + scalar/int-list attributes + subgraphs."""
+
+    __slots__ = ("op_type", "name", "inputs", "outputs", "subgraphs", "attrs")
+
+    def __init__(self):
+        self.op_type = ""
+        self.name = ""
+        self.inputs: list[str] = []
+        self.outputs: list[str] = []
+        self.subgraphs: list["OnnxGraph"] = []
+        self.attrs: dict[str, object] = {}
+
+    def __repr__(self):
+        return f"<{self.op_type} {self.inputs} -> {self.outputs}>"
+
+
+class OnnxGraph:
+    """Nodes in graph order plus initializers, with nested subgraphs."""
+
+    __slots__ = ("name", "nodes", "initializers")
+
+    def __init__(self):
+        self.name = ""
+        self.nodes: list[OnnxNode] = []
+        self.initializers: dict[str, np.ndarray] = {}
+
+    def all_initializers(self) -> dict[str, np.ndarray]:
+        out = dict(self.initializers)
+        for node in self.nodes:
+            for sub in node.subgraphs:
+                out.update(sub.all_initializers())
+        return out
+
+
+def _parse_node(buf: memoryview) -> OnnxNode:
+    """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5."""
+    node = OnnxNode()
+    for field, wire, val in _fields(buf):
+        if wire != 2:
+            continue
+        if field == 1:
+            node.inputs.append(bytes(val).decode("utf-8"))
+        elif field == 2:
+            node.outputs.append(bytes(val).decode("utf-8"))
+        elif field == 3:
+            node.name = bytes(val).decode("utf-8")
+        elif field == 4:
+            node.op_type = bytes(val).decode("utf-8")
+        elif field == 5:  # AttributeProto: name=1, i=3, g=6, ints=8
+            aname = None
+            aint = None
+            aints: list[int] = []
+            astr = None
+            for afield, awire, aval in _fields(val):
+                if afield == 1 and awire == 2:
+                    aname = bytes(aval).decode("utf-8")
+                elif afield == 4 and awire == 2:
+                    astr = bytes(aval).decode("utf-8", "replace")
+                elif afield == 3 and awire == 0:
+                    aint = aval
+                elif afield == 8:
+                    if awire == 0:
+                        aints.append(aval)
+                    else:  # packed
+                        pos = 0
+                        while pos < len(aval):
+                            v, pos = _read_varint(aval, pos)
+                            aints.append(v)
+                elif awire == 2 and afield in (6, 11):
+                    node.subgraphs.append(_parse_graph(aval))
+            if aname is not None:
+                if astr is not None:
+                    node.attrs[aname] = astr
+                else:
+                    node.attrs[aname] = aints if aints else aint
+    return node
+
+
+def _parse_graph(buf: memoryview) -> OnnxGraph:
+    graph = OnnxGraph()
+    for field, wire, val in _fields(buf):
+        if wire != 2:
+            continue
+        if field == 1:
+            graph.nodes.append(_parse_node(val))
+        elif field == 2:
+            graph.name = bytes(val).decode("utf-8")
+        elif field == 5:
+            parsed = _parse_tensor(val)
+            if parsed is not None:
+                graph.initializers[parsed[0]] = parsed[1]
+    return graph
+
+
+def parse_model(path: str | Path) -> OnnxGraph:
+    """Parse an .onnx file into its top-level graph (with nested subgraphs)."""
+    data = memoryview(Path(path).read_bytes())
+    for field, wire, val in _fields(data):
+        if field == 7 and wire == 2:
+            return _parse_graph(val)
+    raise ValueError(f"{path}: no graph found")
+
+
+def extract_initializers(path: str | Path) -> dict[str, np.ndarray]:
+    """All initializer tensors of an .onnx model (including If/Loop
+    subgraphs), keyed by initializer name."""
+    data = memoryview(Path(path).read_bytes())
+    out: dict[str, np.ndarray] = {}
+    for field, wire, val in _fields(data):
+        if field == 7 and wire == 2:  # ModelProto.graph
+            _walk_graph(val, out)
+    return out

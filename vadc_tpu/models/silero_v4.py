@@ -52,7 +52,10 @@ def silero_v4_params(tensors: dict[str, np.ndarray], sample_rate: int = 16000) -
         for out_key, (name, kind) in _STAGE_KEYS.items():
             full = f"stage{i}.{name}"
             if full not in tensors:
-                if out_key in ("proj_w", "proj_b"):
+                # proj is architecturally absent on stage 3; batch-norm
+                # tensors are absent when the exporter folded BN into the
+                # 1x1 convs (the official .onnx does this).
+                if out_key in ("proj_w", "proj_b") or out_key.startswith("bn_"):
                     continue
                 raise KeyError(f"missing weight tensor {full!r}")
             p[out_key] = _canon(np.asarray(tensors[full]), kind)
@@ -64,7 +67,6 @@ def silero_v4_params(tensors: dict[str, np.ndarray], sample_rate: int = 16000) -
         "lstm_b": jnp.asarray(tensors["biases"], jnp.float32),
         "dec_w": _canon(np.asarray(tensors["decoder_weights"]), "pw"),
         "dec_b": jnp.asarray(tensors["decoder_biases"], jnp.float32),
-        "sample_rate": sample_rate,
     }
 
 
@@ -75,24 +77,26 @@ def init_state(n_streams: int) -> tuple[jax.Array, jax.Array]:
 
 def conv_stage(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
     """v4 encoder stage: ConvBlock -> strided 1x1 conv -> BatchNorm -> ReLU
-    (a v3 transformer_layer with the transformer block removed)."""
+    (a v3 transformer_layer with the transformer block removed). BatchNorm is
+    skipped when absent from the archive (folded into the conv at export)."""
     h = F.conv_block(
         x, p["dw_w"], p["dw_b"], p["pw_w"], p["pw_b"], p.get("proj_w"), p.get("proj_b")
     )
     h = F.pointwise_conv(h, p["conv_w"], p["conv_b"], stride=stride)
-    h = F.batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
+    if "bn_w" in p:
+        h = F.batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
     return jax.nn.relu(h)
 
 
-def encode(params: dict, audio: jax.Array) -> jax.Array:
+def encode(params: dict, audio: jax.Array, *, sample_rate: int = 16000) -> jax.Array:
+    """sample_rate selects the encoder strides and must be static under jit
+    (the official model's 16 kHz branch strides stage 3 by 2)."""
     spect = F.stft_magnitude(
         audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
     )
     normalized = F.adaptive_audio_normalization(spect)
     x = jnp.concatenate([spect, normalized], axis=1)  # [B, 258, F]
-    strides = (
-        V4_STRIDES_16K if params.get("sample_rate", 16000) == 16000 else V4_STRIDES_8K
-    )
+    strides = V4_STRIDES_16K if sample_rate == 16000 else V4_STRIDES_8K
     for stage_params, stride in zip(params["stages"], strides):
         x = conv_stage(x, stage_params, stride=stride)
     return x

@@ -106,16 +106,16 @@ def detect_model_family(tensors: dict[str, np.ndarray]) -> str:
     consumes 258 channels (cat[spect, normalized]) and has no transformer
     blocks.
     """
-    if "weights" in tensors and tensors["weights"].shape[-1] == 256:
-        # fused [L, 4H, 2H] with H=128 -> 2H=256... careful: v3 H=64 -> 2H=128
+    if "transformer_l1.dw_conv_weights" in tensors:
+        return "v3"
+    if "stage1.dw_conv_weights" in tensors:
+        return "v4"
+    if "enc1.weight" in tensors:
         return "v5"
-    if "decoder.rnn.weight_ih_l0" in tensors:
-        h = tensors["decoder.rnn.weight_ih_l0"].shape[0] // 4
-        return "v5" if h == 128 else "v4"
-    for name in tensors:
-        if "first_layer" in name and tensors[name].shape[-2:] == (258, 1):
-            return "v4"
-    return "v3"
+    if "weights" in tensors and tensors["weights"].shape[-1] == 256:
+        # fused [L, 4H, 2H]: 2H=256 => hidden 128 => v5 (v3/v4 have 2H=128)
+        return "v5"
+    raise ValueError("unrecognized weight archive layout")
 
 
 def load_params(path: str | Path) -> tuple[str, dict]:
