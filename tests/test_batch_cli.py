@@ -1,0 +1,53 @@
+"""Offline corpus CLI test: multiple variable-length files through the
+sharded engine on the 8-virtual-device mesh."""
+
+import numpy as np
+import pytest
+
+from vadc_tpu.io.pcm import f32_to_s16le
+
+
+def _speechlike(duration_s, f0=120.0, sr=16000):
+    t = np.arange(int(duration_s * sr)) / sr
+    sig = np.zeros_like(t)
+    for k in range(1, 25):
+        f = k * f0
+        w = np.exp(-(((f - 500) / 400) ** 2)) + 0.7 * np.exp(-(((f - 1500) / 500) ** 2))
+        sig += w * np.sin(2 * np.pi * f * t + k)
+    sig *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t - np.pi / 2))
+    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+
+
+def test_batch_cli_end_to_end(tmp_path, capsys, testdata):
+    from vadc_tpu.cli import batch
+
+    sil = lambda d: (np.random.default_rng(1).normal(size=int(d * 16000)) * 0.001).astype(np.float32)
+    # file A: sil 1s, speech 2s, sil 1s;  file B: speech 1.5s only;  C: silence
+    a = np.concatenate([sil(1), _speechlike(2), sil(1)])
+    b = _speechlike(1.5)
+    c = sil(2.5)
+    paths = []
+    for name, audio in [("a", a), ("b", b), ("c", c)]:
+        p = tmp_path / f"{name}.s16le"
+        p.write_bytes(f32_to_s16le(audio))
+        paths.append(str(p))
+
+    rc = batch.main(paths + ["--model", str(testdata / "silero_v31_16k.testtensor")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    by_file = {}
+    for line in out:
+        path, seg = line.split("\t")
+        by_file.setdefault(path, []).append(seg)
+
+    # file A: one segment covering roughly 1..3 s
+    assert len(by_file[paths[0]]) == 1
+    start, end = map(float, by_file[paths[0]][0].split(","))
+    assert 0.7 < start < 1.3 and 2.7 < end < 3.4, (start, end)
+    # file B: speech (the syllabic envelope rises from zero, so onset is
+    # ~0.2-0.4 s) snapped to EOF at ~1.4 s
+    assert len(by_file[paths[1]]) == 1
+    start, end = map(float, by_file[paths[1]][0].split(","))
+    assert start < 0.5 and end > 1.0, (start, end)
+    # file C: no segments
+    assert paths[2] not in by_file

@@ -1,0 +1,137 @@
+"""Offline corpus mode: hundreds of audio files -> timestamps, in parallel.
+
+The capability the reference cannot express (its batch axis is chunks of ONE
+stream; SURVEY.md §2.9): here every file is an independent stream with its
+own LSTM state, batched to fill the MXU and sharded over all available
+devices. Audio is scanned on-device in time slabs with state carried in the
+scan, and the segmentation FSM runs vectorized on device.
+
+Usage:
+    python -m vadc_tpu.cli.batch FILE.s16le [FILE.s16le ...]
+        [--model PATH] [--sequence_count N] [--slab_chunks N]
+        [--min_silence MS] [--min_speech MS] [--threshold P]
+        [--neg_threshold_relative P] [--speech_pad MS] [--stats]
+
+Output (stdout): `<filename>\t<start>,<end>` per segment.
+Inputs are raw mono 16 kHz s16le files (use ffmpeg to produce them).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vadc-batch", description=__doc__)
+    p.add_argument("files", nargs="+", help="raw mono 16 kHz s16le files")
+    p.add_argument("--model", type=str, default=None)
+    p.add_argument("--sequence_count", type=int, default=1536)
+    p.add_argument("--slab_chunks", type=int, default=64,
+                   help="chunks per device scan slab (memory/latency knob)")
+    p.add_argument("--min_silence", type=float, default=200.0)
+    p.add_argument("--min_speech", type=float, default=250.0)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--neg_threshold_relative", type=float, default=0.15)
+    p.add_argument("--speech_pad", type=float, default=30.0)
+    p.add_argument("--stats", action="store_true")
+    return p
+
+
+def load_streams(paths: list[str], chunk_samples: int) -> tuple[np.ndarray, np.ndarray]:
+    """Load s16le files into a zero-padded [B, T_max, chunk] grid.
+    Returns (chunk grid, per-stream valid chunk counts)."""
+    from vadc_tpu.io.pcm import s16le_to_f32
+
+    audios = [s16le_to_f32(Path(p).read_bytes()) for p in paths]
+    valid = np.asarray(
+        [int(len(a) / chunk_samples) if len(a) % chunk_samples == 0
+         else int(len(a) / chunk_samples) + 1 for a in audios],
+        np.int64,
+    )
+    # emission parity with the streaming CLI: a trailing partial chunk is
+    # model-processed but not emitted (vadc.c:964 floor semantics)
+    emit_valid = np.asarray([len(a) // chunk_samples for a in audios], np.int64)
+    t_max = int(valid.max())
+    grid = np.zeros((len(audios), t_max, chunk_samples), np.float32)
+    for i, a in enumerate(audios):
+        n_full = len(a) // chunk_samples
+        grid[i, :n_full] = a[: n_full * chunk_samples].reshape(-1, chunk_samples)
+        rem = len(a) - n_full * chunk_samples
+        if rem:
+            grid[i, n_full, :rem] = a[n_full * chunk_samples :]
+    return grid, emit_valid
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vadc_tpu.runtime import enable_persistent_compilation_cache
+    from vadc_tpu.cli.main import resolve_weights_path, clamp_sequence_count
+    from vadc_tpu.cli.segmenter import SegmenterConfig
+    from vadc_tpu.engine.shard import ShardedStreamRunner, make_stream_mesh
+    from vadc_tpu.engine.vectorized_segmenter import BatchSegmenter
+    from vadc_tpu.models.weights import load_params
+    from vadc_tpu.io.pcm import SAMPLE_RATE
+
+    enable_persistent_compilation_cache()
+    family, params = load_params(resolve_weights_path(args.model))
+    seq = clamp_sequence_count(family, int(args.sequence_count))
+
+    t0 = time.perf_counter()
+    grid, valid = load_streams(args.files, seq)
+    n_files, t_chunks = grid.shape[:2]
+
+    mesh = make_stream_mesh()
+    # pad stream count to a device multiple; pad time to a slab multiple
+    n_streams = -(-n_files // mesh.size) * mesh.size
+    slab = min(args.slab_chunks, t_chunks)
+    t_pad = -(-t_chunks // slab) * slab
+    grid = np.pad(grid, ((0, n_streams - n_files), (0, t_pad - t_chunks), (0, 0)))
+
+    runner = ShardedStreamRunner(family, params, mesh)
+    state = runner.init_state(n_streams)
+    seg_config = SegmenterConfig.from_ms(
+        chunk_samples=seq,
+        sample_rate=SAMPLE_RATE,
+        min_silence_ms=args.min_silence,
+        min_speech_ms=args.min_speech,
+        threshold=args.threshold,
+        neg_threshold_relative=args.neg_threshold_relative,
+        speech_pad_ms=args.speech_pad,
+    )
+    segmenter = BatchSegmenter(seg_config, n_streams)
+
+    for off in range(0, t_pad, slab):
+        chunk_slab = jnp.asarray(grid[:, off : off + slab])
+        probs, state = runner.scan(chunk_slab, state)
+        segmenter.feed(probs)
+
+    segments = segmenter.finish(
+        valid_chunks=list(valid) + [0] * (n_streams - n_files)
+    )
+    for path, segs in zip(args.files, segments):
+        for start, end in segs:
+            sys.stdout.write(f"{path}\t{start:.2f},{end:.2f}\n")
+    sys.stdout.flush()
+
+    if args.stats:
+        wall = time.perf_counter() - t0
+        total_audio = float(valid.sum()) * seq / SAMPLE_RATE
+        print(
+            f"{n_files} files, {total_audio:.1f} s audio in {wall:.2f} s "
+            f"({total_audio / wall:.1f}x realtime)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

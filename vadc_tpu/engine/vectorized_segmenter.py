@@ -111,58 +111,96 @@ def segment_batch(
     return lax.scan(body, state, probs.T)
 
 
+class BatchSegmenter:
+    """Incremental multi-stream segmentation over probability slabs.
+
+    Feed probabilities in [B, T_slab] slabs (any slab sizes); the per-chunk
+    FSM runs vectorized on device, closed-segment events are accumulated on
+    host; `finish` applies the EOF snap for still-open segments and the
+    pad/merge pass. Semantics match the scalar CLI Segmenter."""
+
+    def __init__(self, config: SegmenterConfig, n_streams: int):
+        self.config = config
+        self.n_streams = n_streams
+        self.state = init_fsm_state(n_streams)
+        self._raw: list[list[tuple[int, int]]] = [[] for _ in range(n_streams)]
+        self._step = jax.jit(
+            segment_batch,
+            static_argnames=(
+                "threshold",
+                "neg_threshold",
+                "min_silence_chunks",
+                "min_speech_chunks",
+            ),
+        )
+
+    def feed(self, probs) -> None:
+        import numpy as np
+
+        cfg = self.config
+        self.state, (closed, seg_start, seg_end) = self._step(
+            jnp.asarray(probs, jnp.float32),
+            threshold=cfg.threshold,
+            neg_threshold=cfg.neg_threshold,
+            min_silence_chunks=cfg.min_silence_chunks,
+            min_speech_chunks=cfg.min_speech_chunks,
+            state=self.state,
+        )
+        closed = np.asarray(closed)  # [T, B]
+        if not closed.any():
+            return
+        seg_start = np.asarray(seg_start)
+        seg_end = np.asarray(seg_end)
+        times, streams = np.nonzero(closed)
+        for t, i in zip(times, streams):
+            self._raw[i].append((int(seg_start[t, i]), int(seg_end[t, i])))
+
+    def finish(self, valid_chunks=None) -> list[list[tuple[float, float]]]:
+        """valid_chunks: per-stream real chunk counts (for zero-padded batch
+        grids); segments are clamped to each stream's real extent and the
+        reference's EOF snap applies at it (vadc.c:1005-1027)."""
+        import numpy as np
+
+        cfg = self.config
+        triggered = np.asarray(self.state.triggered)
+        open_start = np.asarray(self.state.speech_start)
+        total_chunks = int(self.state.chunk_index)
+        if valid_chunks is None:
+            valid_chunks = [total_chunks] * self.n_streams
+
+        out: list[list[tuple[float, float]]] = []
+        spc = cfg.seconds_per_chunk
+        pad = cfg.speech_pad_s
+        for i in range(self.n_streams):
+            valid = int(valid_chunks[i])
+            last_chunk = valid - 1
+            raw = [
+                (s, min(e, last_chunk))
+                for s, e in self._raw[i]
+                if s < valid
+            ]
+            if triggered[i] and int(open_start[i]) < valid:
+                if last_chunk - int(open_start[i]) > cfg.min_speech_chunks:
+                    raw.append((int(open_start[i]), last_chunk))
+            merged: list[tuple[float, float]] = []
+            for start_c, end_c in raw:
+                start_s = max(start_c * spc - pad, 0.0)
+                end_s = end_c * spc + pad
+                if merged and merged[-1][1] >= start_s:
+                    merged[-1] = (merged[-1][0], end_s)
+                else:
+                    merged.append((start_s, end_s))
+            out.append(merged)
+        return out
+
+
 def collect_segments(
     probs,
     config: SegmenterConfig,
 ) -> list[list[tuple[float, float]]]:
-    """Offline multi-stream segmentation: probabilities [B, T] -> padded and
-    merged (start_s, end_s) segments per stream.
-
-    The per-chunk FSM runs vectorized on device; only the closed-segment
-    events (sparse) plus the final open-segment snap and pad/merge run on
-    host. Semantics identical to the scalar CLI Segmenter."""
-    import numpy as np
-
+    """One-shot offline segmentation: probabilities [B, T] -> padded and
+    merged (start_s, end_s) segments per stream."""
     probs = jnp.asarray(probs, jnp.float32)
-    n_streams, n_chunks = probs.shape
-    final_state, (closed, seg_start, seg_end) = jax.jit(
-        segment_batch, static_argnames=(
-            "threshold", "neg_threshold", "min_silence_chunks", "min_speech_chunks",
-        )
-    )(
-        probs,
-        threshold=config.threshold,
-        neg_threshold=config.neg_threshold,
-        min_silence_chunks=config.min_silence_chunks,
-        min_speech_chunks=config.min_speech_chunks,
-    )
-    closed = np.asarray(closed)  # [T, B]
-    seg_start = np.asarray(seg_start)
-    seg_end = np.asarray(seg_end)
-    triggered = np.asarray(final_state.triggered)
-    open_start = np.asarray(final_state.speech_start)
-
-    spc = config.seconds_per_chunk
-    pad = config.speech_pad_s
-    out: list[list[tuple[float, float]]] = []
-    for i in range(n_streams):
-        raw = [
-            (int(seg_start[t, i]), int(seg_end[t, i]))
-            for t in np.nonzero(closed[:, i])[0]
-        ]
-        # EOF snap of a still-open segment (reference vadc.c:1005-1027)
-        if triggered[i]:
-            last_chunk = n_chunks - 1
-            if last_chunk - int(open_start[i]) > config.min_speech_chunks:
-                raw.append((int(open_start[i]), last_chunk))
-        # pad + merge
-        merged: list[tuple[float, float]] = []
-        for start_c, end_c in raw:
-            start_s = max(start_c * spc - pad, 0.0)
-            end_s = end_c * spc + pad
-            if merged and merged[-1][1] >= start_s:
-                merged[-1] = (merged[-1][0], end_s)
-            else:
-                merged.append((start_s, end_s))
-        out.append(merged)
-    return out
+    seg = BatchSegmenter(config, probs.shape[0])
+    seg.feed(probs)
+    return seg.finish()

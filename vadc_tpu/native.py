@@ -1,0 +1,158 @@
+"""ctypes bindings for the native runtime kernels (native/vadc_native.cpp).
+
+Every entry point has a pure-numpy fallback so the framework works without
+the compiled library; the native path removes the Python loop from the
+host-side hot paths (PCM conversion, batched segmentation FSM). The library
+is auto-built with `make -C native` on first use if a compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libvadc_native.so"
+
+_lib = None
+_load_attempted = False
+
+
+def _try_load() -> ctypes.CDLL | None:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _LIB_PATH.exists() and (_NATIVE_DIR / "Makefile").exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    i64, i32, f32 = ctypes.c_int64, ctypes.c_int32, ctypes.c_float
+    p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+    lib.vadc_s16le_to_f32.argtypes = [p_i16, p_f32, i64]
+    lib.vadc_f32_to_s16le.argtypes = [p_f32, p_i16, i64]
+    lib.vadc_frame_s16le.restype = i64
+    lib.vadc_frame_s16le.argtypes = [p_i16, i64, p_f32, i64, i64]
+    lib.vadc_fsm_feed.restype = i64
+    lib.vadc_fsm_feed.argtypes = [
+        p_f32, i64, i64, f32, f32, i32, i32,
+        p_i32, p_i32, p_i32, i64, p_i32, p_i32, p_i32, i64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def s16le_to_f32(samples: np.ndarray) -> np.ndarray:
+    samples = np.ascontiguousarray(samples, np.int16)
+    lib = _try_load()
+    out = np.empty(samples.shape, np.float32)
+    if lib is None:
+        np.divide(samples, 32768.0, out=out)
+    else:
+        lib.vadc_s16le_to_f32(samples.ravel(), out.ravel(), samples.size)
+    return out
+
+
+def frame_s16le(samples: np.ndarray, chunk_samples: int) -> np.ndarray:
+    """s16 samples -> zero-padded [rows, chunk_samples] f32 matrix."""
+    samples = np.ascontiguousarray(samples, np.int16)
+    rows = -(-samples.size // chunk_samples) if samples.size else 0
+    out = np.zeros((rows, chunk_samples), np.float32)
+    if rows == 0:
+        return out
+    lib = _try_load()
+    if lib is None:
+        flat = samples.astype(np.float32) / 32768.0
+        out.ravel()[: samples.size] = flat
+    else:
+        lib.vadc_frame_s16le(samples, samples.size, out, chunk_samples, rows)
+    return out
+
+
+class NativeFsm:
+    """Batched host-side segmentation FSM backed by the C++ kernel (numpy
+    fallback when unavailable). Mirrors the semantics of the device FSM in
+    vadc_tpu.engine.vectorized_segmenter and the scalar CLI Segmenter."""
+
+    def __init__(self, n_streams: int, *, threshold: float, neg_threshold: float,
+                 min_silence_chunks: int, min_speech_chunks: int):
+        self.n = n_streams
+        self.threshold = float(threshold)
+        self.neg_threshold = float(neg_threshold)
+        self.min_silence = int(min_silence_chunks)
+        self.min_speech = int(min_speech_chunks)
+        self.triggered = np.zeros(n_streams, np.int32)
+        self.speech_start = np.zeros(n_streams, np.int32)
+        self.temp_end = np.zeros(n_streams, np.int32)
+        self.chunk_index = 0
+
+    def feed(self, probs: np.ndarray) -> list[tuple[int, int, int]]:
+        """probs: [B, T]. Returns closed segments as (stream, start, end)."""
+        probs = np.ascontiguousarray(probs, np.float32)
+        b, t = probs.shape
+        assert b == self.n
+        lib = _try_load()
+        if lib is not None:
+            max_events = b * (t // max(self.min_speech + self.min_silence, 1) + 2)
+            ev_s = np.empty(max_events, np.int32)
+            ev_a = np.empty(max_events, np.int32)
+            ev_b = np.empty(max_events, np.int32)
+            count = lib.vadc_fsm_feed(
+                probs, b, t, self.threshold, self.neg_threshold,
+                self.min_silence, self.min_speech,
+                self.triggered, self.speech_start, self.temp_end,
+                self.chunk_index, ev_s, ev_a, ev_b, max_events,
+            )
+            self.chunk_index += t
+            order = np.lexsort((ev_s[:count],))  # keep deterministic order
+            return [
+                (int(ev_s[i]), int(ev_a[i]), int(ev_b[i])) for i in order
+            ]
+        # numpy fallback (vectorized over streams, loop over time)
+        events = []
+        for j in range(t):
+            idx = self.chunk_index + j
+            p = probs[:, j]
+            above = p >= self.threshold
+            below = p < self.neg_threshold
+            self.temp_end[above & (self.temp_end > 0)] = 0
+            newly = (~self.triggered.astype(bool)) & above
+            self.speech_start[newly] = idx
+            self.triggered[newly] = 1
+            tent = self.triggered.astype(bool) & below
+            fresh = tent & (self.temp_end == 0)
+            self.temp_end[fresh] = idx
+            closing = tent & (idx - self.temp_end >= self.min_silence)
+            for s in np.nonzero(closing)[0]:
+                if self.temp_end[s] - self.speech_start[s] >= self.min_speech:
+                    events.append(
+                        (int(s), int(self.speech_start[s]), int(self.temp_end[s]))
+                    )
+                self.triggered[s] = 0
+                self.speech_start[s] = 0
+                self.temp_end[s] = 0
+        self.chunk_index += t
+        return events
