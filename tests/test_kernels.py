@@ -1,0 +1,48 @@
+"""Pallas kernel tests: every kernel is validated against its pure-jnp
+oracle in vadc_tpu.nn.functional (interpret mode on CPU, compiled on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import assert_close
+from vadc_tpu.io.testtensor import load_testtensor
+from vadc_tpu.nn import functional as F
+
+
+@pytest.fixture(scope="module")
+def lstm_weights(testdata):
+    d = load_testtensor(testdata / "silero_v31_16k.testtensor")
+    return jnp.asarray(d["weights"]), jnp.asarray(d["biases"])
+
+
+def test_lstm_fused_matches_oracle(lstm_weights):
+    from vadc_tpu.kernels.lstm import lstm_fused
+
+    w, b = lstm_weights
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 7, 64)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(2, 8, 64)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.normal(size=(2, 8, 64)).astype(np.float32) * 0.1)
+
+    y_ref, hn_ref, cn_ref = F.lstm(x, h0, c0, w, b)
+    y, hn, cn = lstm_fused(x, h0, c0, w, b, block_streams=4)
+    assert_close(y, y_ref, 1e-5, "lstm_fused y")
+    assert_close(hn, hn_ref, 1e-5, "lstm_fused hn")
+    assert_close(cn, cn_ref, 1e-5, "lstm_fused cn")
+
+
+def test_lstm_fused_golden(testdata):
+    from vadc_tpu.kernels.lstm import lstm_fused
+
+    d = load_testtensor(testdata / "lstm_nito_reference_randn.testtensor")
+    x = jnp.asarray(d["input_x"])[None]
+    h0 = jnp.asarray(d["hidden_state_previous"])[:, None, :]
+    c0 = jnp.asarray(d["cell_state_previous"])[:, None, :]
+    y, hn, cn = lstm_fused(
+        x, h0, c0, jnp.asarray(d["weights_transposed"]), jnp.asarray(d["biases"]),
+        block_streams=1,
+    )
+    ref = d["output"]
+    assert_close(y[0], ref[:7], 1e-4, "fused lstm golden y")
+    assert_close(hn[:, 0, :], ref[7:9], 1e-4, "fused lstm golden hn")

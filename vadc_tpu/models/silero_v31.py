@@ -44,12 +44,17 @@ def init_state(n_streams: int) -> tuple[jax.Array, jax.Array]:
 
 def encode(params: dict, audio: jax.Array) -> jax.Array:
     """Front-end: audio [B, S] -> encoder features [B, 64, S//256 + 1]."""
-    spect = F.stft_magnitude(
-        audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
-    )
-    x = F.adaptive_audio_normalization(spect)
-    for layer_params, stride in zip(params["layers"], V3_STRIDES):
-        x = F.transformer_layer(x, layer_params, stride=stride)
+    from vadc_tpu.tracing import zone
+
+    with zone("stft"):
+        spect = F.stft_magnitude(
+            audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
+        )
+    with zone("adaptive_norm"):
+        x = F.adaptive_audio_normalization(spect)
+    for i, (layer_params, stride) in enumerate(zip(params["layers"], V3_STRIDES)):
+        with zone(f"encoder_layer_{i + 1}"):
+            x = F.transformer_layer(x, layer_params, stride=stride)
     return x
 
 
@@ -60,11 +65,15 @@ def forward(
 
     audio: [B, S]; h, c: [2, B, 64]. Returns (probs [B], hn, cn).
     """
+    from vadc_tpu.tracing import zone
+
     feats = encode(params, audio)  # [B, 64, T]
-    out, hn, cn = F.lstm(
-        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
-    )
-    dec = F.decoder_v3(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
+    with zone("lstm"):
+        out, hn, cn = F.lstm(
+            feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+        )
+    with zone("decoder"):
+        dec = F.decoder_v3(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
     return dec[:, 1, 0], hn, cn
 
 
