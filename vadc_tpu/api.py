@@ -1,0 +1,108 @@
+"""High-level Python API — the programmatic equivalent of the CLI.
+
+    from vadc_tpu import api
+
+    segments = api.detect_speech("talk.mp3")            # via ffmpeg
+    segments = api.detect_speech_samples(f32_audio)     # 16 kHz mono floats
+    probs = api.speech_probabilities(f32_audio)         # one per 96 ms chunk
+
+Covers the role of the reference's Python pipeline wrapper (vadc.py:14-126)
+without a subprocess: the model runs in-process on the available device.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from vadc_tpu.cli.segmenter import SegmenterConfig, segment_probabilities
+
+_DEFAULT_RUNNERS: dict = {}
+
+
+def _get_runner(model: str | None, sequence_count: int):
+    from vadc_tpu.cli.main import resolve_weights_path, clamp_sequence_count
+    from vadc_tpu.engine.runner import StreamRunner
+    from vadc_tpu.models.weights import load_params
+    from vadc_tpu.runtime import enable_persistent_compilation_cache
+
+    path = resolve_weights_path(model)
+    key = (str(path), sequence_count)
+    if key not in _DEFAULT_RUNNERS:
+        enable_persistent_compilation_cache()
+        family, params = load_params(path)
+        seq = clamp_sequence_count(family, sequence_count)
+        _DEFAULT_RUNNERS[key] = (StreamRunner(family, params), seq)
+    return _DEFAULT_RUNNERS[key]
+
+
+def speech_probabilities(
+    samples: np.ndarray,
+    *,
+    model: str | None = None,
+    sequence_count: int = 1536,
+) -> np.ndarray:
+    """Per-chunk speech probabilities for 16 kHz mono float32 samples."""
+    import jax.numpy as jnp
+    from vadc_tpu.models import silero_v5
+
+    runner, seq = _get_runner(model, sequence_count)
+    window = seq if runner.family != "v5" else silero_v5.WINDOW_SAMPLES
+    samples = np.asarray(samples, np.float32).ravel()
+    n_chunks = -(-len(samples) // window)
+    if n_chunks == 0:
+        return np.zeros(0, np.float32)
+    padded = np.zeros(n_chunks * window, np.float32)
+    padded[: len(samples)] = samples
+    chunks = jnp.asarray(padded.reshape(1, n_chunks, window))
+    probs, _ = runner.scan(chunks, runner.init_state(1))
+    return np.asarray(probs[0])
+
+
+def detect_speech_samples(
+    samples: np.ndarray,
+    *,
+    model: str | None = None,
+    sequence_count: int = 1536,
+    min_silence_ms: float = 200.0,
+    min_speech_ms: float = 250.0,
+    threshold: float = 0.5,
+    neg_threshold_relative: float = 0.15,
+    speech_pad_ms: float = 30.0,
+) -> list[tuple[float, float]]:
+    """Speech segments (start_s, end_s) for 16 kHz mono float32 samples."""
+    runner, seq = _get_runner(model, sequence_count)
+    from vadc_tpu.models import silero_v5
+
+    window = seq if runner.family != "v5" else silero_v5.WINDOW_SAMPLES
+    probs = speech_probabilities(samples, model=model, sequence_count=sequence_count)
+    config = SegmenterConfig.from_ms(
+        chunk_samples=window,
+        min_silence_ms=min_silence_ms,
+        min_speech_ms=min_speech_ms,
+        threshold=threshold,
+        neg_threshold_relative=neg_threshold_relative,
+        speech_pad_ms=speech_pad_ms,
+    )
+    # emit only full chunks (reference floor semantics, vadc.c:964)
+    emit = len(np.asarray(samples).ravel()) // window
+    return segment_probabilities(probs[:emit], config)
+
+
+def detect_speech(
+    filename: str | Path,
+    *,
+    audio_source: int = 0,
+    start_seconds: float = 0.0,
+    **kwargs,
+) -> list[tuple[float, float]]:
+    """Speech segments for any media file (decoded via ffmpeg)."""
+    from vadc_tpu.io.ffmpeg import FFmpegSource
+    from vadc_tpu.io.pcm import s16le_to_f32
+
+    with FFmpegSource(
+        str(filename), audio_source=audio_source, start_seconds=start_seconds
+    ) as stream:
+        samples = s16le_to_f32(stream.read())
+    return detect_speech_samples(samples, **kwargs)

@@ -98,6 +98,21 @@ def clamp_sequence_count(family: str, requested: int) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    try:
+        return _main(argv)
+    except FileNotFoundError as e:
+        # clean one-line errors for the common failure modes (missing model
+        # file, missing ffmpeg binary, missing input) — the reference prints
+        # an error kind and exits rather than dumping a trace (vadc.c:911-947)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0
+    except KeyboardInterrupt:
+        return 130
+
+
+def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     from vadc_tpu.runtime import enable_persistent_compilation_cache

@@ -71,14 +71,33 @@ def init_stream_state(family: str, n_streams: int) -> StreamState:
 
 
 class StreamRunner:
-    """Batched independent-stream inference for one model family."""
+    """Batched independent-stream inference for one model family.
 
-    def __init__(self, family: str, params: dict):
+    fast_math=True traces the model with bf16 matmuls (fp32 accumulation) —
+    roughly 2-6x MXU throughput for ~1e-2-level probability deviation; the
+    default keeps the full-fp32 fidelity contract."""
+
+    def __init__(self, family: str, params: dict, *, fast_math: bool = False):
         self.family = family
         self.params = params
+        self.fast_math = fast_math
         self.module = get_family_module(family)
-        self._step = jax.jit(functools.partial(_step, self.module, family))
-        self._scan = jax.jit(functools.partial(_scan, self.module, family))
+        step = functools.partial(_step, self.module, family)
+        scan = functools.partial(_scan, self.module, family)
+        if fast_math:
+            from vadc_tpu.nn import functional as F
+
+            def wrap(fn):
+                @functools.wraps(fn)
+                def inner(*args):
+                    with F.fast_math():
+                        return fn(*args)
+
+                return inner
+
+            step, scan = wrap(step), wrap(scan)
+        self._step = jax.jit(step)
+        self._scan = jax.jit(scan)
 
     def init_state(self, n_streams: int) -> StreamState:
         return init_stream_state(self.family, n_streams)

@@ -12,7 +12,14 @@ VMEM; HBM traffic is exactly (audio in, probs + state out).
 Grid is over stream blocks (streams are independent; no cross-block
 communication). All contractions run on the MXU in fp32 (HIGHEST-equivalent
 via preferred_element_type) to preserve the golden-test fidelity contract.
-Correctness oracle: models/silero_v31.forward (tests/test_kernels.py).
+Correctness oracle: models/silero_v31.forward (tests/test_kernels.py) —
+probabilities agree to ~1e-8.
+
+TOOLCHAIN NOTE: the remote Mosaic compiler available in the current build
+environment SIGABRTs on leading-dim-split reshapes, 3-D x 2-D dots, and
+batched dot_general (verified with minimal probe kernels), so this kernel
+currently runs in interpret mode / awaits a standard Mosaic toolchain; the
+simple-2-D-dot kernels (kernels/lstm.py) compile and run on the TPU today.
 
 Reference pipeline being fused: silero_v3.c:72-215.
 """

@@ -118,9 +118,8 @@ def detect_model_family(tensors: dict[str, np.ndarray]) -> str:
     raise ValueError("unrecognized weight archive layout")
 
 
-def load_params(path: str | Path) -> tuple[str, dict]:
-    """Load a .testtensor weight archive, returning (family, params)."""
-    tensors = load_testtensor(path)
+def load_params_from_tensors(tensors: dict[str, np.ndarray]) -> tuple[str, dict]:
+    """Classify a loaded tensor archive and build its param pytree."""
     family = detect_model_family(tensors)
     if family == "v3":
         return family, silero_v31_params(tensors)
@@ -131,3 +130,8 @@ def load_params(path: str | Path) -> tuple[str, dict]:
     from vadc_tpu.models.silero_v4 import silero_v4_params
 
     return family, silero_v4_params(tensors)
+
+
+def load_params(path: str | Path) -> tuple[str, dict]:
+    """Load a .testtensor weight archive, returning (family, params)."""
+    return load_params_from_tensors(load_testtensor(path))

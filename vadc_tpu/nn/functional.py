@@ -18,11 +18,32 @@ Conventions:
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 HIGHEST = lax.Precision.HIGHEST
+
+# Module-wide matmul precision. HIGHEST = full fp32 on the MXU (the fidelity
+# contract); DEFAULT = bf16 multiplies with fp32 accumulation (~2-6x MXU
+# throughput, probabilities deviate at the ~1e-2 level). Switched by
+# fast_math(); read at TRACE time, so callers must trace separate jit
+# programs per mode (StreamRunner(fast_math=True) does).
+_PRECISION = HIGHEST
+
+
+@contextlib.contextmanager
+def fast_math():
+    """Trace enclosed model code with bf16 matmuls (fp32 accumulation)."""
+    global _PRECISION
+    prev = _PRECISION
+    _PRECISION = lax.Precision.DEFAULT
+    try:
+        yield
+    finally:
+        _PRECISION = prev
 
 # 7-tap smoothing filter of AdaptiveAudioNormalization. The reference embeds
 # these constants directly (reference misc.c:5-13); they come from the Silero
@@ -46,7 +67,7 @@ def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
 
     Reference: tensor_linear, tensor.h:675-723.
     """
-    y = jnp.matmul(x, w.T, precision=HIGHEST)
+    y = jnp.matmul(x, w.T, precision=_PRECISION)
     if b is not None:
         y = y + b
     return y
@@ -84,7 +105,7 @@ def stft_magnitude(
     cutoff = n_fft // 2 + 1
     padded = reflect_pad_last(audio, pad_left, pad_right)
     frames = _frame(padded, n_fft, hop)  # [B, F, n_fft]
-    spec = jnp.einsum("bfn,cn->bcf", frames, basis, precision=HIGHEST)
+    spec = jnp.einsum("bfn,cn->bcf", frames, basis, precision=_PRECISION)
     real = spec[:, :cutoff, :]
     imag = spec[:, cutoff:, :]
     return jnp.sqrt(real * real + imag * imag)
@@ -172,7 +193,7 @@ def pointwise_conv(x: jax.Array, w: jax.Array, b: jax.Array | None, stride: int 
     """
     if stride != 1:
         x = x[:, :, ::stride]
-    y = jnp.einsum("oc,bcl->bol", w, x, precision=HIGHEST)
+    y = jnp.einsum("oc,bcl->bol", w, x, precision=_PRECISION)
     if b is not None:
         y = y + b[None, :, None]
     return y
@@ -199,7 +220,7 @@ def conv1d(
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        precision=HIGHEST,
+        precision=_PRECISION,
     )
     if b is not None:
         y = y + b[None, :, None]
@@ -285,9 +306,9 @@ def attention(
         return t.reshape(bsz, seq, n_heads, head_dim).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    scores = jnp.einsum("bhsd,bhtd->bhst", k, q, precision=HIGHEST)
+    scores = jnp.einsum("bhsd,bhtd->bhst", k, q, precision=_PRECISION)
     alpha = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(head_dim)), axis=-1)
-    out = jnp.einsum("bhst,bhtd->bhsd", alpha, v, precision=HIGHEST)
+    out = jnp.einsum("bhst,bhtd->bhsd", alpha, v, precision=_PRECISION)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
     return linear(out, proj_w, proj_b)
 
@@ -337,7 +358,7 @@ def lstm_cell(
 
     Reference: lstm_cell, lstm.c:31-95; bias fusion utils.py:93-107.
     """
-    gates = jnp.matmul(jnp.concatenate([x, h], axis=-1), w.T, precision=HIGHEST) + b
+    gates = jnp.matmul(jnp.concatenate([x, h], axis=-1), w.T, precision=_PRECISION) + b
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
