@@ -58,6 +58,27 @@ def encode(params: dict, audio: jax.Array) -> jax.Array:
     return x
 
 
+def encode_nlc(params: dict, audio: jax.Array) -> jax.Array:
+    """Sequence-major front-end: audio [B, S] -> features [B, T, 64].
+
+    Numerically the same pipeline as `encode` but channels-last end-to-end —
+    the STFT naturally emits frames-major data and attention/layernorm/LSTM
+    want channels-last, so this path has ZERO transposes (the NCL path
+    relayouts ~26 MB per step at batch 2048 around every transformer block)."""
+    from vadc_tpu.tracing import zone
+
+    with zone("stft"):
+        spect = F.stft_magnitude_nlc(
+            audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
+        )
+    with zone("adaptive_norm"):
+        x = F.adaptive_audio_normalization_nlc(spect)
+    for i, (layer_params, stride) in enumerate(zip(params["layers"], V3_STRIDES)):
+        with zone(f"encoder_layer_{i + 1}"):
+            x = F.transformer_layer_nlc(x, layer_params, stride=stride)
+    return x
+
+
 def forward(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -67,14 +88,12 @@ def forward(
     """
     from vadc_tpu.tracing import zone
 
-    feats = encode(params, audio)  # [B, 64, T]
+    feats = encode_nlc(params, audio)  # [B, T, 64]
     with zone("lstm"):
-        out, hn, cn = F.lstm(
-            feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
-        )
+        out, hn, cn = F.lstm(feats, h, c, params["lstm_w"], params["lstm_b"])
     with zone("decoder"):
-        dec = F.decoder_v3(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
-    return dec[:, 1, 0], hn, cn
+        probs = F.decoder_v3_nlc(out, params["dec_w"], params["dec_b"])
+    return probs, hn, cn
 
 
 def forward_minibatched(
@@ -85,9 +104,9 @@ def forward_minibatched(
 
     audio: [N, S]; h, c: [2, 1, 64]. Returns (probs [N], hn, cn).
     """
-    feats = encode(params, audio)  # [N, 64, T]
+    feats = encode_nlc(params, audio)  # [N, T, 64]
     out, hn, cn = F.lstm_minibatched(
-        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
+        feats, h, c, params["lstm_w"], params["lstm_b"]
     )
-    dec = F.decoder_v3(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
-    return dec[:, 1, 0], hn, cn
+    probs = F.decoder_v3_nlc(out, params["dec_w"], params["dec_b"])
+    return probs, hn, cn

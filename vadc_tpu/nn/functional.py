@@ -417,6 +417,101 @@ def lstm_minibatched(
     return out.reshape(n, t, feat), hn, cn
 
 
+# ---------------------------------------------------------------------------
+# NLC (sequence-major, [batch, length, channels]) variants.
+#
+# The NCL ops above mirror the reference layout so golden fixtures apply
+# directly; the production forward uses these NLC twins instead, which
+# eliminate every transpose in the pipeline (the STFT naturally produces
+# frames-major data, attention/layernorm/LSTM all want channels-last, and
+# channels-last is the TPU lane dimension). Each is numerically the same
+# computation — only the layout differs.
+# ---------------------------------------------------------------------------
+
+
+def stft_magnitude_nlc(
+    audio: jax.Array, basis: jax.Array, *, pad_left: int, pad_right: int, hop: int
+) -> jax.Array:
+    """STFT magnitude, frames-major: [B, F, cutoff]."""
+    n_filters, n_fft = basis.shape
+    cutoff = n_fft // 2 + 1
+    padded = reflect_pad_last(audio, pad_left, pad_right)
+    frames = _frame(padded, n_fft, hop)  # [B, F, n_fft]
+    spec = jnp.einsum("bfn,cn->bfc", frames, basis, precision=_PRECISION)
+    real = spec[:, :, :cutoff]
+    imag = spec[:, :, cutoff:]
+    return jnp.sqrt(real * real + imag * imag)
+
+
+def adaptive_audio_normalization_nlc(spect: jax.Array) -> jax.Array:
+    """Adaptive normalization over [B, F, C] (channels last)."""
+    spect_e = accurate_log1p(spect * 1048576.0)
+    mean = jnp.mean(spect_e, axis=-1)  # over channels -> [B, F]
+    mean_padded = reflect_pad_last(mean, 3, 3)
+    taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
+    smoothed = _frame(mean_padded, 7, 1) @ taps  # [B, F]
+    mean_mean = jnp.mean(smoothed, axis=-1)[:, None, None]
+    return spect_e - mean_mean
+
+
+def depthwise_conv5_nlc(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Depthwise k5 pad2 conv over [B, L, C]; w [C, 5]."""
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0)))
+    length = x.shape[1]
+    y = xp[:, 0:length, :] * w[None, None, :, 0]
+    for k in range(1, 5):
+        y = y + xp[:, k : k + length, :] * w[None, None, :, k]
+    return y + b[None, None, :]
+
+
+def conv_block_nlc(
+    x: jax.Array,
+    dw_w: jax.Array,
+    dw_b: jax.Array,
+    pw_w: jax.Array,
+    pw_b: jax.Array,
+    proj_w: jax.Array | None,
+    proj_b: jax.Array | None,
+) -> jax.Array:
+    """ConvBlock over [B, L, C]."""
+    h = jax.nn.relu(depthwise_conv5_nlc(x, dw_w, dw_b))
+    h = linear(h, pw_w, pw_b)
+    if proj_w is not None:
+        h = h + linear(x, proj_w, proj_b)
+    else:
+        h = h + x
+    return jax.nn.relu(h)
+
+
+def transformer_block_nlc(x: jax.Array, p: dict) -> jax.Array:
+    """Post-norm transformer block over [B, S, C] — no permutes needed."""
+    h = x + attention(x, p["qkv_w"], p["qkv_b"], p["att_proj_w"], p["att_proj_b"])
+    h = layer_norm(h, p["norm1_w"], p["norm1_b"])
+    ff = linear(jax.nn.relu(linear(h, p["lin1_w"], p["lin1_b"])), p["lin2_w"], p["lin2_b"])
+    return layer_norm(h + ff, p["norm2_w"], p["norm2_b"])
+
+
+def transformer_layer_nlc(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
+    """Encoder stage over [B, S, C]: ConvBlock -> TransformerBlock ->
+    strided 1x1 conv -> BatchNorm -> ReLU, all channels-last."""
+    h = conv_block_nlc(
+        x, p["dw_w"], p["dw_b"], p["pw_w"], p["pw_b"], p.get("proj_w"), p.get("proj_b")
+    )
+    h = transformer_block_nlc(h, p)
+    if stride != 1:
+        h = h[:, ::stride, :]
+    h = linear(h, p["conv_w"], p["conv_b"])
+    inv = lax.rsqrt(p["bn_var"] + BATCH_NORM_EPS)
+    h = (h - p["bn_mean"]) * inv * p["bn_w"] + p["bn_b"]
+    return jax.nn.relu(h)
+
+
+def decoder_v3_nlc(out: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """v3 decoder over LSTM output [B, T, H] -> probs [B] (channel 1)."""
+    logits = linear(jax.nn.relu(out), w, b)  # [B, T, 2]
+    return jax.nn.sigmoid(jnp.mean(logits, axis=1))[:, 1]
+
+
 def decoder_v3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """v3 decoder: relu -> 1x1 conv (64->2) -> mean over frames -> sigmoid.
 
