@@ -34,6 +34,24 @@ def v4_params(v4_tensors):
     return silero_v4_params(v4_tensors)
 
 
+def test_extraction_8k_branch():
+    """The 8 kHz branch differs only in stage-3 stride; branch selection must
+    pick it and produce the same tensor inventory."""
+    if not V4_ONNX.exists():
+        pytest.skip("v4 onnx not available")
+    from vadc_tpu.export.silero_v4_from_onnx import extract_silero_v4
+
+    a16 = extract_silero_v4(V4_ONNX, sample_rate=16000)
+    a8 = extract_silero_v4(V4_ONNX, sample_rate=8000)
+    assert set(a16) == set(a8)
+    assert a8["stage1.dw_conv_weights"].shape == (258, 1, 5)
+    # the 8 kHz branch is a separately-trained model packed into the same
+    # file — weights must differ (proves branch selection actually selects)
+    assert not np.array_equal(
+        a16["stage1.dw_conv_weights"], a8["stage1.dw_conv_weights"]
+    )
+
+
 def test_extraction_structure(v4_tensors):
     assert detect_model_family(v4_tensors) == "v4"
     assert v4_tensors["forward_basis_buffer"].shape == (258, 1, 256)
