@@ -32,6 +32,27 @@ def test_lstm_fused_matches_oracle(lstm_weights):
     assert_close(cn, cn_ref, 1e-5, "lstm_fused cn")
 
 
+def test_lstm_decoder_fused_matches_model(testdata):
+    from vadc_tpu.kernels.lstm import lstm_decoder_fused
+    from vadc_tpu.models.weights import silero_v31_params
+    from vadc_tpu.models import silero_v31
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.normal(size=(4, 1536)).astype(np.float32) * 0.1)
+    h, c = silero_v31.init_state(4)
+    probs_ref, hn_ref, cn_ref = silero_v31.forward(params, audio, h, c)
+
+    feats = silero_v31.encode_nlc(params, audio)
+    probs, hn, cn = lstm_decoder_fused(
+        feats, h, c, params["lstm_w"], params["lstm_b"],
+        params["dec_w"], params["dec_b"], block_streams=2,
+    )
+    assert_close(probs, probs_ref, 1e-6, "lstm_decoder probs")
+    assert_close(hn, hn_ref, 1e-6, "lstm_decoder hn")
+    assert_close(cn, cn_ref, 1e-6, "lstm_decoder cn")
+
+
 def test_lstm_fused_golden(testdata):
     from vadc_tpu.kernels.lstm import lstm_fused
 

@@ -57,9 +57,9 @@ def test_forward_shapes(v5_params):
 
 def test_encoder_frame_count(v5_params):
     # 576 samples -> pad 64 -> 640 -> (640-256)/128+1 = 4 STFT frames
-    # -> strides 1,2,2,1 -> 4,2,1,1 frames
+    # -> strides 1,2,2,1 -> 4,2,1,1 frames; channels-last layout
     feats = silero_v5.encode(v5_params, jnp.zeros((1, 576), jnp.float32))
-    assert feats.shape == (1, 128, 1)
+    assert feats.shape == (1, 1, 128)
 
 
 def test_vs_torch_oracle(v5_params):

@@ -77,13 +77,25 @@ class StreamRunner:
     roughly 2-6x MXU throughput for ~1e-2-level probability deviation; the
     default keeps the full-fp32 fidelity contract."""
 
-    def __init__(self, family: str, params: dict, *, fast_math: bool = False):
+    def __init__(
+        self,
+        family: str,
+        params: dict,
+        *,
+        fast_math: bool = False,
+        use_pallas: bool = False,
+    ):
         self.family = family
         self.params = params
         self.fast_math = fast_math
         self.module = get_family_module(family)
-        step = functools.partial(_step, self.module, family)
-        scan = functools.partial(_scan, self.module, family)
+        module = self.module
+        if use_pallas:
+            if not hasattr(module, "forward_pallas"):
+                raise ValueError(f"family {family!r} has no Pallas forward")
+            module = _PallasForward(module)
+        step = functools.partial(_step, module, family)
+        scan = functools.partial(_scan, module, family)
         if fast_math:
             from vadc_tpu.nn import functional as F
 
@@ -109,6 +121,17 @@ class StreamRunner:
     def scan(self, chunks: jax.Array, state: StreamState) -> tuple[jax.Array, StreamState]:
         """chunks: [B, T, chunk_samples] -> (probs [B, T], final state)."""
         return self._scan(self.params, chunks, state)
+
+
+class _PallasForward:
+    """Module proxy whose forward is the family's Pallas fast path."""
+
+    def __init__(self, module):
+        self._module = module
+        self.forward = module.forward_pallas
+
+    def __getattr__(self, name):
+        return getattr(self._module, name)
 
 
 def _step(module, family: str, params: dict, chunks: jax.Array, state: StreamState):

@@ -72,6 +72,110 @@ def _lstm_kernel(x_ref, h0_ref, c0_ref, w_ref, b_ref, y_ref, hn_ref, cn_ref):
         cn_ref[layer] = c[layer]
 
 
+def _lstm_decoder_kernel(
+    x_ref, h0_ref, c0_ref, w_ref, b_ref, dw_ref, db_ref, probs_ref, hn_ref, cn_ref
+):
+    """LSTM + v3 decoder in one kernel: the decoder's frame mean commutes
+    with its linear conv, so relu(h_top) is accumulated across steps and the
+    2-logit projection applied once (reference decoder: relu -> 1x1 conv ->
+    frame mean -> sigmoid, silero_v3.c:231-303)."""
+    num_layers = h0_ref.shape[0]
+    seq_len = x_ref.shape[0]
+    hidden = x_ref.shape[-1]
+
+    w = [w_ref[layer].T for layer in range(num_layers)]
+    b = [b_ref[layer] for layer in range(num_layers)]
+
+    def step(t, carry):
+        hs, cs, acc = carry
+        inp = x_ref[t]
+        new_h, new_c = [], []
+        for layer in range(num_layers):
+            gates = (
+                jnp.dot(
+                    jnp.concatenate([inp, hs[layer]], axis=-1),
+                    w[layer],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                + b[layer]
+            )
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * cs[layer] + i * g
+            h_new = o * jnp.tanh(c_new)
+            new_h.append(h_new)
+            new_c.append(c_new)
+            inp = h_new
+        return tuple(new_h), tuple(new_c), acc + jax.nn.relu(inp)
+
+    h = tuple(h0_ref[layer] for layer in range(num_layers))
+    c = tuple(c0_ref[layer] for layer in range(num_layers))
+    zero = jnp.zeros((x_ref.shape[1], hidden), jnp.float32)
+    h, c, acc = lax.fori_loop(0, seq_len, step, (h, c, zero))
+    for layer in range(num_layers):
+        hn_ref[layer] = h[layer]
+        cn_ref[layer] = c[layer]
+    logits = jnp.dot(
+        acc / seq_len,
+        dw_ref[:].T,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    ) + db_ref[:]
+    probs_ref[:] = jax.nn.sigmoid(logits[:, 1:2])
+
+
+@functools.partial(jax.jit, static_argnames=("block_streams",))
+def lstm_decoder_fused(
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    dec_w: jax.Array,
+    dec_b: jax.Array,
+    *,
+    block_streams: int = 512,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(encoder feats [B, T, H], state, lstm + decoder weights) ->
+    (speech probs [B], hn, cn) in one kernel per stream block."""
+    batch, seq, hidden = x.shape
+    num_layers = w.shape[0]
+    blk = min(block_streams, batch)
+    if batch % blk:
+        raise ValueError(f"batch {batch} not a multiple of block {blk}")
+    grid = (batch // blk,)
+
+    xt = x.transpose(1, 0, 2)
+    probs, hn, cn = pl.pallas_call(
+        _lstm_decoder_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((seq, blk, hidden), lambda i: (0, i, 0)),
+            pl.BlockSpec((num_layers, blk, hidden), lambda i: (0, i, 0)),
+            pl.BlockSpec((num_layers, blk, hidden), lambda i: (0, i, 0)),
+            pl.BlockSpec(w.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(b.shape, lambda i: (0, 0)),
+            pl.BlockSpec(dec_w.shape, lambda i: (0, 0)),
+            pl.BlockSpec(dec_b.shape, lambda i: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((num_layers, blk, hidden), lambda i: (0, i, 0)),
+            pl.BlockSpec((num_layers, blk, hidden), lambda i: (0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, batch, hidden), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xt, h0, c0, w, b, dec_w, dec_b)
+    return probs[:, 0], hn, cn
+
+
 @functools.partial(jax.jit, static_argnames=("block_streams",))
 def lstm_fused(
     x: jax.Array,

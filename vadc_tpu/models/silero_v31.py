@@ -96,6 +96,22 @@ def forward(
     return probs, hn, cn
 
 
+def forward_pallas(
+    params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """forward with the LSTM+decoder replaced by the fused Pallas kernel
+    (state and weights VMEM-resident across all scan steps; compiles on TPU
+    within the current toolchain's 2-D-dot subset). Identical numerics to
+    `forward` within fp32 accumulation order."""
+    from vadc_tpu.kernels.lstm import lstm_decoder_fused
+
+    feats = encode_nlc(params, audio)  # [B, T, 64]
+    return lstm_decoder_fused(
+        feats, h, c, params["lstm_w"], params["lstm_b"],
+        params["dec_w"], params["dec_b"],
+    )
+
+
 def forward_minibatched(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

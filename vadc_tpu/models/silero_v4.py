@@ -76,26 +76,29 @@ def init_state(n_streams: int) -> tuple[jax.Array, jax.Array]:
 
 
 def conv_stage(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
-    """v4 encoder stage: ConvBlock -> strided 1x1 conv -> BatchNorm -> ReLU
-    (a v3 transformer_layer with the transformer block removed). BatchNorm is
-    skipped when absent from the archive (folded into the conv at export)."""
-    h = F.conv_block(
+    """v4 encoder stage over [B, L, C]: ConvBlock -> strided 1x1 conv ->
+    BatchNorm -> ReLU (a v3 transformer layer minus the transformer block).
+    BatchNorm is skipped when absent (folded into the conv at export)."""
+    h = F.conv_block_nlc(
         x, p["dw_w"], p["dw_b"], p["pw_w"], p["pw_b"], p.get("proj_w"), p.get("proj_b")
     )
-    h = F.pointwise_conv(h, p["conv_w"], p["conv_b"], stride=stride)
+    if stride != 1:
+        h = h[:, ::stride, :]
+    h = F.linear(h, p["conv_w"], p["conv_b"])
     if "bn_w" in p:
-        h = F.batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
+        h = F.batch_norm1d_nlc(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
     return jax.nn.relu(h)
 
 
 def encode(params: dict, audio: jax.Array, *, sample_rate: int = 16000) -> jax.Array:
-    """sample_rate selects the encoder strides and must be static under jit
+    """audio [B, S] -> features [B, T, 64] (channels-last throughout).
+    sample_rate selects the encoder strides and must be static under jit
     (the official model's 16 kHz branch strides stage 3 by 2)."""
-    spect = F.stft_magnitude(
+    spect = F.stft_magnitude_nlc(
         audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
     )
-    normalized = F.adaptive_audio_normalization(spect)
-    x = jnp.concatenate([spect, normalized], axis=1)  # [B, 258, F]
+    normalized = F.adaptive_audio_normalization_nlc(spect)
+    x = jnp.concatenate([spect, normalized], axis=-1)  # [B, F, 258]
     strides = V4_STRIDES_16K if sample_rate == 16000 else V4_STRIDES_8K
     for stage_params, stride in zip(params["stages"], strides):
         x = conv_stage(x, stage_params, stride=stride)
@@ -106,12 +109,9 @@ def forward(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Independent-stream forward. audio [B, S]; h, c [2, B, 64] -> probs [B]."""
-    feats = encode(params, audio)
-    out, hn, cn = F.lstm(
-        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
-    )
-    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
-    return probs[:, 0], hn, cn
+    feats = encode(params, audio)  # [B, T, 64]
+    out, hn, cn = F.lstm(feats, h, c, params["lstm_w"], params["lstm_b"])
+    return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
 
 
 def forward_minibatched(
@@ -119,8 +119,5 @@ def forward_minibatched(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Chunks-of-one-stream forward; h, c [2, 1, 64]."""
     feats = encode(params, audio)
-    out, hn, cn = F.lstm_minibatched(
-        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
-    )
-    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
-    return probs[:, 0], hn, cn
+    out, hn, cn = F.lstm_minibatched(feats, h, c, params["lstm_w"], params["lstm_b"])
+    return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn

@@ -66,13 +66,13 @@ def init_context(n_streams: int) -> jax.Array:
 
 
 def encode(params: dict, audio: jax.Array) -> jax.Array:
-    """audio [B, 576] (context + window) -> [B, 128, frames]."""
-    spect = F.stft_magnitude(
+    """audio [B, 576] (context + window) -> features [B, frames, 128]
+    (channels-last throughout)."""
+    x = F.stft_magnitude_nlc(
         audio, params["stft_basis"], pad_left=0, pad_right=STFT_PAD_RIGHT, hop=STFT_HOP
     )
-    x = spect
     for p, stride in zip(params["encoder"], ENCODER_STRIDES):
-        x = jax.nn.relu(F.conv1d(x, p["w"], p["b"], stride=stride, padding=1))
+        x = jax.nn.relu(F.conv1d_nlc(x, p["w"], p["b"], stride=stride, padding=1))
     return x
 
 
@@ -80,12 +80,9 @@ def forward(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Independent-stream forward. audio [B, 576]; h, c [1, B, 128]."""
-    feats = encode(params, audio)
-    out, hn, cn = F.lstm(
-        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
-    )
-    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
-    return probs[:, 0], hn, cn
+    feats = encode(params, audio)  # [B, T, 128]
+    out, hn, cn = F.lstm(feats, h, c, params["lstm_w"], params["lstm_b"])
+    return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
 
 
 def forward_minibatched(
@@ -93,11 +90,8 @@ def forward_minibatched(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Chunks-of-one-stream forward; h, c [1, 1, 128]."""
     feats = encode(params, audio)
-    out, hn, cn = F.lstm_minibatched(
-        feats.transpose(0, 2, 1), h, c, params["lstm_w"], params["lstm_b"]
-    )
-    probs = F.decoder_v5(out.transpose(0, 2, 1), params["dec_w"], params["dec_b"])
-    return probs[:, 0], hn, cn
+    out, hn, cn = F.lstm_minibatched(feats, h, c, params["lstm_w"], params["lstm_b"])
+    return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
 
 
 def attach_context(chunks: jax.Array, context: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -506,6 +506,52 @@ def transformer_layer_nlc(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
     return jax.nn.relu(h)
 
 
+def conv1d_nlc(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """General small-kernel conv over [B, L, C]; w [O, C, K].
+
+    Expressed as K shifted strided matmuls (K <= 5 in every Silero variant),
+    keeping the contraction on the MXU without layout changes."""
+    k = w.shape[-1]
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    length = x.shape[1]
+    out_len = (length - k) // stride + 1
+    y = None
+    for tap in range(k):
+        xs = x[:, tap : tap + (out_len - 1) * stride + 1 : stride, :]
+        term = jnp.matmul(xs, w[:, :, tap].T, precision=_PRECISION)
+        y = term if y is None else y + term
+    if b is not None:
+        y = y + b
+    return y
+
+
+def batch_norm1d_nlc(
+    x: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Inference BatchNorm over the channel (last) dim of [B, L, C]."""
+    inv = lax.rsqrt(running_var + BATCH_NORM_EPS)
+    return (x - running_mean) * inv * w + b
+
+
+def decoder_v5_nlc(out: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """v4/v5 decoder over LSTM output [B, T, H] -> probs [B].
+    Sigmoid precedes the frame mean (silero_vad.py:331-341)."""
+    logits = linear(jax.nn.relu(out), w, b)  # [B, T, 1]
+    return jnp.mean(jax.nn.sigmoid(logits[:, :, 0]), axis=1)
+
+
 def decoder_v3_nlc(out: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """v3 decoder over LSTM output [B, T, H] -> probs [B] (channel 1)."""
     logits = linear(jax.nn.relu(out), w, b)  # [B, T, 2]
