@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_threshold_relative", type=float, default=0.15)
     p.add_argument("--speech_pad", type=float, default=30.0)
     p.add_argument("--stats", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 matmuls (~1.7x throughput, ~5e-3 probability "
+                        "deviation vs the fp32 fidelity contract)")
     return p
 
 
@@ -108,7 +111,7 @@ def _main(argv: list[str] | None = None) -> int:
     t_pad = -(-t_chunks // slab) * slab
     grid = np.pad(grid, ((0, n_streams - n_files), (0, t_pad - t_chunks), (0, 0)))
 
-    runner = ShardedStreamRunner(family, params, mesh)
+    runner = ShardedStreamRunner(family, params, mesh, fast_math=args.fast)
     state = runner.init_state(n_streams)
     seg_config = SegmenterConfig.from_ms(
         chunk_samples=seq,

@@ -36,12 +36,27 @@ class ShardedStreamRunner:
     axis. n_streams must be a multiple of the mesh size.
     """
 
-    def __init__(self, family: str, params: dict, mesh: Mesh):
+    def __init__(self, family: str, params: dict, mesh: Mesh, *, fast_math: bool = False):
         self.family = family
         self.mesh = mesh
         self.module = get_family_module(family)
         replicated = NamedSharding(mesh, P())
         self.params = jax.device_put(params, replicated)
+
+        step_fn = functools.partial(_step, self.module, family)
+        scan_fn = functools.partial(_scan, self.module, family)
+        if fast_math:
+            from vadc_tpu.nn import functional as F
+
+            def wrap(fn):
+                @functools.wraps(fn)
+                def inner(*args):
+                    with F.fast_math():
+                        return fn(*args)
+
+                return inner
+
+            step_fn, scan_fn = wrap(step_fn), wrap(scan_fn)
 
         batch0 = NamedSharding(mesh, P(STREAM_AXIS))  # leading batch dim
         batch1 = NamedSharding(mesh, P(None, STREAM_AXIS))  # h/c: [L, B, H]
@@ -49,14 +64,14 @@ class ShardedStreamRunner:
             batch1, batch1, batch0 if family == "v5" else None
         )
         self._step = jax.jit(
-            functools.partial(_step, self.module, family),
+            step_fn,
             in_shardings=(replicated, batch0, state_shardings),
             out_shardings=(batch0, state_shardings),
         )
         chunks_scan = NamedSharding(mesh, P(STREAM_AXIS, None, None))
         probs_scan = NamedSharding(mesh, P(STREAM_AXIS, None))
         self._scan = jax.jit(
-            functools.partial(_scan, self.module, family),
+            scan_fn,
             in_shardings=(replicated, chunks_scan, state_shardings),
             out_shardings=(probs_scan, state_shardings),
         )
