@@ -71,6 +71,59 @@ def test_fsm_matches_host_segmenter():
         assert by_stream[i] == raw, f"stream {i}"
 
 
+def test_stream_pool_pipes():
+    """Feed 3 pipe streams with different amounts of PCM, including split
+    writes and a partial tail chunk; the pool must deliver every chunk in
+    order with the tail zero-padded."""
+    import os
+    import time
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    chunk = 256
+    rng = np.random.default_rng(0)
+    audio = [
+        rng.integers(-30000, 30000, size=n).astype(np.int16)
+        for n in (3 * chunk, 2 * chunk + 100, 0)
+    ]
+    pool = native.StreamPool(3, chunk, ring_chunks=8)
+    pipes = [os.pipe() for _ in range(3)]
+    for i, (r, _w) in enumerate(pipes):
+        pool.add_fd(i, r)
+    pool.start()
+    try:
+        # write in awkward pieces (odd byte boundaries) from this thread
+        for i, data in enumerate(audio):
+            b = data.tobytes()
+            w = pipes[i][1]
+            for off in range(0, len(b), 701):  # odd size -> split samples
+                os.write(w, b[off : off + 701])
+            os.close(w)
+
+        got = {0: [], 1: [], 2: []}
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            out, ready, count = pool.gather()
+            for i in range(3):
+                if ready[i]:
+                    got[i].append(out[i].copy())
+            if all(pool.stream_done(i) for i in range(3)):
+                break
+            time.sleep(0.005)
+
+        for i, data in enumerate(audio):
+            expect = np.zeros(-(-len(data) // chunk) * chunk if len(data) else 0,
+                              np.float32)
+            expect[: len(data)] = data.astype(np.float32) / 32768.0
+            got_flat = np.concatenate(got[i]) if got[i] else np.zeros(0, np.float32)
+            np.testing.assert_array_equal(got_flat, expect, err_msg=f"stream {i}")
+    finally:
+        pool.close()
+        for r, _ in pipes:
+            os.close(r)
+
+
 def test_fsm_state_carries_across_slabs():
     cfg = SegmenterConfig(speech_pad_s=0.0)
     probs = np.zeros((1, 20), np.float32)

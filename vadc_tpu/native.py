@@ -57,6 +57,19 @@ def _try_load() -> ctypes.CDLL | None:
         p_f32, i64, i64, f32, f32, i32, i32,
         p_i32, p_i32, p_i32, i64, p_i32, p_i32, p_i32, i64,
     ]
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    c_int = ctypes.c_int
+    lib.vadc_pool_create.restype = ctypes.c_void_p
+    lib.vadc_pool_create.argtypes = [c_int, c_int, c_int]
+    lib.vadc_pool_add_fd.restype = c_int
+    lib.vadc_pool_add_fd.argtypes = [ctypes.c_void_p, c_int, c_int]
+    lib.vadc_pool_start.restype = c_int
+    lib.vadc_pool_start.argtypes = [ctypes.c_void_p]
+    lib.vadc_pool_gather.restype = i64
+    lib.vadc_pool_gather.argtypes = [ctypes.c_void_p, p_f32, p_u8]
+    lib.vadc_pool_stream_done.restype = c_int
+    lib.vadc_pool_stream_done.argtypes = [ctypes.c_void_p, c_int]
+    lib.vadc_pool_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -90,6 +103,57 @@ def frame_s16le(samples: np.ndarray, chunk_samples: int) -> np.ndarray:
     else:
         lib.vadc_frame_s16le(samples, samples.size, out, chunk_samples, rows)
     return out
+
+
+class StreamPool:
+    """GIL-free multi-stream PCM ingest (native/stream_pool.cpp).
+
+    A background C++ thread drains N non-blocking fds (pipes/sockets/files)
+    into per-stream chunk rings; `gather()` pops one chunk per ready stream
+    into a [N, chunk] batch for the next device step. Requires the native
+    library (no Python fallback — it exists to take ingest off the GIL)."""
+
+    def __init__(self, n_streams: int, chunk_samples: int, *, ring_chunks: int = 64):
+        lib = _try_load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build with make -C native")
+        self._lib = lib
+        self.n_streams = n_streams
+        self.chunk_samples = chunk_samples
+        self._pool = lib.vadc_pool_create(n_streams, chunk_samples, ring_chunks)
+        self._started = False
+
+    def add_fd(self, stream_idx: int, fd: int) -> None:
+        if self._lib.vadc_pool_add_fd(self._pool, stream_idx, fd):
+            raise ValueError(f"bad stream index {stream_idx}")
+
+    def start(self) -> None:
+        self._lib.vadc_pool_start(self._pool)
+        self._started = True
+
+    def gather(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """Returns (batch [N, chunk] f32, ready [N] uint8, ready_count).
+        ready: 1 = full chunk, 2 = zero-padded EOF tail, 0 = nothing new
+        (rows with 0 are untouched/stale)."""
+        out = np.zeros((self.n_streams, self.chunk_samples), np.float32)
+        ready = np.zeros(self.n_streams, np.uint8)
+        count = self._lib.vadc_pool_gather(self._pool, out, ready)
+        return out, ready, int(count)
+
+    def stream_done(self, idx: int) -> bool:
+        return bool(self._lib.vadc_pool_stream_done(self._pool, idx))
+
+    def close(self) -> None:
+        if self._pool:
+            self._lib.vadc_pool_destroy(self._pool)
+            self._pool = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class NativeFsm:
