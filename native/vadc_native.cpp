@@ -60,8 +60,10 @@ int64_t vadc_frame_s16le(const int16_t* in, int64_t n_samples,
 // feed_probability, vadc.c:165-221), advancing B streams over T chunks.
 //
 // probs: [B, T] row-major. Per-stream state arrays (int32, caller-owned,
-// zero-initialized for fresh streams): triggered, speech_start, temp_end.
-// chunk_index_base is the global index of probs column 0.
+// zero-initialized for fresh streams): triggered, speech_start, temp_end,
+// chunk_index (each stream's own global chunk counter — streams may be
+// ragged/stalled). active (nullable): streams with active[s]==0 are
+// skipped entirely (no state advance, no index advance).
 //
 // Closed segments are appended to the event arrays as (stream, start, end);
 // returns the number of events written (capped at max_events; excess
@@ -70,18 +72,20 @@ int64_t vadc_fsm_feed(const float* probs, int64_t b, int64_t t,
                       float threshold, float neg_threshold,
                       int32_t min_silence_chunks, int32_t min_speech_chunks,
                       int32_t* triggered, int32_t* speech_start,
-                      int32_t* temp_end, int64_t chunk_index_base,
+                      int32_t* temp_end, int32_t* chunk_index,
+                      const uint8_t* active,
                       int32_t* event_stream, int32_t* event_start,
                       int32_t* event_end, int64_t max_events) {
     int64_t n_events = 0;
     for (int64_t s = 0; s < b; ++s) {
+        if (active && !active[s]) continue;
         const float* row = probs + s * t;
         int32_t trig = triggered[s];
         int32_t start = speech_start[s];
         int32_t tend = temp_end[s];
         for (int64_t j = 0; j < t; ++j) {
             const float p = row[j];
-            const int32_t idx = static_cast<int32_t>(chunk_index_base + j);
+            const int32_t idx = chunk_index[s] + static_cast<int32_t>(j);
             if (p >= threshold && tend > 0) {
                 tend = 0;
             }
@@ -111,6 +115,7 @@ int64_t vadc_fsm_feed(const float* probs, int64_t b, int64_t t,
         triggered[s] = trig;
         speech_start[s] = start;
         temp_end[s] = tend;
+        chunk_index[s] += static_cast<int32_t>(t);
     }
     return n_events;
 }

@@ -1,0 +1,87 @@
+"""Property tests: the channels-last (NLC) production ops must match the
+fixture-facing NCL reference ops exactly (same math, different layout)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import assert_close
+from vadc_tpu.nn import functional as F
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_stft_layouts(testdata, rng):
+    from vadc_tpu.io.testtensor import load_testtensor
+
+    basis = jnp.asarray(
+        load_testtensor(testdata / "silero_v31_16k.testtensor")[
+            "forward_basis_buffer"
+        ][:, 0, :]
+    )
+    audio = jnp.asarray(rng.normal(size=(3, 1536)).astype(np.float32) * 0.1)
+    ncl = F.stft_magnitude(audio, basis, pad_left=128, pad_right=128, hop=64)
+    nlc = F.stft_magnitude_nlc(audio, basis, pad_left=128, pad_right=128, hop=64)
+    assert_close(nlc, ncl.transpose(0, 2, 1), 1e-6, "stft layouts")
+
+
+def test_adaptive_norm_layouts(rng):
+    spect = jnp.asarray(np.abs(rng.normal(size=(2, 129, 25))).astype(np.float32))
+    ncl = F.adaptive_audio_normalization(spect)
+    nlc = F.adaptive_audio_normalization_nlc(spect.transpose(0, 2, 1))
+    assert_close(nlc, ncl.transpose(0, 2, 1), 1e-6, "adaptive norm layouts")
+
+
+def test_conv_block_layouts(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16, 25)).astype(np.float32))
+    dw_w = jnp.asarray(rng.normal(size=(16, 5)).astype(np.float32) * 0.2)
+    dw_b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+    pw_w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32) * 0.2)
+    pw_b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32) * 0.1)
+    pj_w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32) * 0.2)
+    pj_b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32) * 0.1)
+    ncl = F.conv_block(x, dw_w, dw_b, pw_w, pw_b, pj_w, pj_b)
+    nlc = F.conv_block_nlc(x.transpose(0, 2, 1), dw_w, dw_b, pw_w, pw_b, pj_w, pj_b)
+    assert_close(nlc, ncl.transpose(0, 2, 1), 1e-5, "conv block layouts")
+
+
+def test_conv1d_layouts(rng):
+    x = jnp.asarray(rng.normal(size=(2, 129, 10)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 129, 3)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+    for stride, padding in ((1, 1), (2, 1), (2, 0)):
+        ncl = F.conv1d(x, w, b, stride=stride, padding=padding)
+        nlc = F.conv1d_nlc(x.transpose(0, 2, 1), w, b, stride=stride, padding=padding)
+        assert_close(
+            nlc, ncl.transpose(0, 2, 1), 1e-5, f"conv1d s{stride} p{padding}"
+        )
+
+
+def test_transformer_layer_layouts(testdata, rng):
+    from vadc_tpu.io.testtensor import load_testtensor
+    from vadc_tpu.models.weights import transformer_layer_params
+
+    d = load_testtensor(testdata / "transformer_first_layer.testtensor")
+    p = transformer_layer_params(d)
+    x = jnp.asarray(d["input"])
+    ncl = F.transformer_layer(x, p, stride=2)
+    nlc = F.transformer_layer_nlc(x.transpose(0, 2, 1), p, stride=2)
+    assert_close(nlc, ncl.transpose(0, 2, 1), 1e-5, "transformer layer layouts")
+
+
+def test_decoders_layouts(rng):
+    out = jnp.asarray(rng.normal(size=(3, 7, 64)).astype(np.float32))
+    w3 = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32) * 0.2)
+    b3 = jnp.asarray(rng.normal(size=(2,)).astype(np.float32) * 0.1)
+    ncl = F.decoder_v3(out.transpose(0, 2, 1), w3, b3)[:, 1, 0]
+    nlc = F.decoder_v3_nlc(out, w3, b3)
+    assert_close(nlc, ncl, 1e-6, "decoder v3 layouts")
+
+    w5 = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32) * 0.2)
+    b5 = jnp.asarray(rng.normal(size=(1,)).astype(np.float32) * 0.1)
+    ncl5 = F.decoder_v5(out.transpose(0, 2, 1), w5, b5)[:, 0]
+    nlc5 = F.decoder_v5_nlc(out, w5, b5)
+    assert_close(nlc5, ncl5, 1e-6, "decoder v5 layouts")

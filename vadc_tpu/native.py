@@ -55,7 +55,8 @@ def _try_load() -> ctypes.CDLL | None:
     lib.vadc_fsm_feed.restype = i64
     lib.vadc_fsm_feed.argtypes = [
         p_f32, i64, i64, f32, f32, i32, i32,
-        p_i32, p_i32, p_i32, i64, p_i32, p_i32, p_i32, i64,
+        p_i32, p_i32, p_i32, p_i32, ctypes.c_void_p,
+        p_i32, p_i32, p_i32, i64,
     ]
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     c_int = ctypes.c_int
@@ -171,44 +172,58 @@ class NativeFsm:
         self.triggered = np.zeros(n_streams, np.int32)
         self.speech_start = np.zeros(n_streams, np.int32)
         self.temp_end = np.zeros(n_streams, np.int32)
-        self.chunk_index = 0
+        # per-stream chunk counters: streams may be ragged/stalled
+        self.chunk_index = np.zeros(n_streams, np.int32)
 
-    def feed(self, probs: np.ndarray) -> list[tuple[int, int, int]]:
-        """probs: [B, T]. Returns closed segments as (stream, start, end)."""
+    def feed(
+        self, probs: np.ndarray, active: np.ndarray | None = None
+    ) -> list[tuple[int, int, int]]:
+        """probs: [B, T]. active (optional bool/uint8 [B]): streams marked 0
+        are skipped entirely (no state or index advance). Returns closed
+        segments as (stream, start, end) in per-stream chunk units."""
         probs = np.ascontiguousarray(probs, np.float32)
         b, t = probs.shape
         assert b == self.n
+        if active is not None:
+            active = np.ascontiguousarray(active, np.uint8)
         lib = _try_load()
         if lib is not None:
+            import ctypes
+
             max_events = b * (t // max(self.min_speech + self.min_silence, 1) + 2)
             ev_s = np.empty(max_events, np.int32)
             ev_a = np.empty(max_events, np.int32)
             ev_b = np.empty(max_events, np.int32)
+            active_ptr = (
+                active.ctypes.data_as(ctypes.c_void_p) if active is not None else None
+            )
             count = lib.vadc_fsm_feed(
                 probs, b, t, self.threshold, self.neg_threshold,
                 self.min_silence, self.min_speech,
                 self.triggered, self.speech_start, self.temp_end,
-                self.chunk_index, ev_s, ev_a, ev_b, max_events,
+                self.chunk_index, active_ptr, ev_s, ev_a, ev_b, max_events,
             )
-            self.chunk_index += t
             order = np.lexsort((ev_s[:count],))  # keep deterministic order
             return [
                 (int(ev_s[i]), int(ev_a[i]), int(ev_b[i])) for i in order
             ]
         # numpy fallback (vectorized over streams, loop over time)
+        act = (
+            np.ones(b, bool) if active is None else active.astype(bool)
+        )
         events = []
         for j in range(t):
             idx = self.chunk_index + j
             p = probs[:, j]
-            above = p >= self.threshold
-            below = p < self.neg_threshold
+            above = act & (p >= self.threshold)
+            below = act & (p < self.neg_threshold)
             self.temp_end[above & (self.temp_end > 0)] = 0
             newly = (~self.triggered.astype(bool)) & above
-            self.speech_start[newly] = idx
+            self.speech_start[newly] = idx[newly]
             self.triggered[newly] = 1
             tent = self.triggered.astype(bool) & below
             fresh = tent & (self.temp_end == 0)
-            self.temp_end[fresh] = idx
+            self.temp_end[fresh] = idx[fresh]
             closing = tent & (idx - self.temp_end >= self.min_silence)
             for s in np.nonzero(closing)[0]:
                 if self.temp_end[s] - self.speech_start[s] >= self.min_speech:
@@ -218,5 +233,5 @@ class NativeFsm:
                 self.triggered[s] = 0
                 self.speech_start[s] = 0
                 self.temp_end[s] = 0
-        self.chunk_index += t
+        self.chunk_index[act] += t
         return events
