@@ -108,7 +108,8 @@ def main() -> int:
     total_audio = float(chunk_counts.sum()) * spc
     print(
         f"# {n} live streams, {total_audio:.0f} s audio in {wall:.2f} s "
-        f"({total_audio / wall:.0f}x realtime aggregate)",
+        f"({total_audio / wall:.1f}x realtime aggregate; step-wise serving is\n"
+        f"# round-trip-bound through a remote-device tunnel)",
         file=sys.stderr,
     )
     for proc in producers:

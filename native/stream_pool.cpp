@@ -185,12 +185,23 @@ int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
             ++count;
         } else if (s.eof.load(std::memory_order_acquire) && !s.drained &&
                    !s.partial.empty()) {
-            std::memcpy(row, s.partial.data(), s.partial.size() * sizeof(float));
-            std::memset(row + s.partial.size(), 0,
-                        (pool->chunk_samples - s.partial.size()) * sizeof(float));
-            s.partial.clear();
-            s.drained = true;
-            ready[i] = 2;
+            // After EOF the reader thread never touches this stream again,
+            // so the engine thread may consume `partial` directly. It can
+            // hold MORE than one chunk when EOF arrived while the ring was
+            // full — flush whole chunks first, zero-pad only the final tail.
+            const size_t chunk = static_cast<size_t>(pool->chunk_samples);
+            if (s.partial.size() >= chunk) {
+                std::memcpy(row, s.partial.data(), chunk * sizeof(float));
+                s.partial.erase(s.partial.begin(), s.partial.begin() + chunk);
+                ready[i] = 1;
+            } else {
+                std::memcpy(row, s.partial.data(), s.partial.size() * sizeof(float));
+                std::memset(row + s.partial.size(), 0,
+                            (chunk - s.partial.size()) * sizeof(float));
+                s.partial.clear();
+                s.drained = true;
+                ready[i] = 2;
+            }
             ++count;
         } else {
             ready[i] = 0;

@@ -124,6 +124,59 @@ def test_stream_pool_pipes():
             os.close(r)
 
 
+def test_stream_pool_ring_overflow_eof():
+    """EOF arriving while the ring is full leaves >1 chunk in the staging
+    buffer; the drain must flush whole chunks before the zero-padded tail
+    (regression: this path overflowed the gather row)."""
+    import os
+    import time
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    chunk = 256
+    data = np.arange(10 * chunk + 100, dtype=np.int16)
+    pool = native.StreamPool(1, chunk, ring_chunks=2)  # tiny ring
+    r, w = os.pipe()
+    pool.add_fd(0, r)
+    pool.start()
+    try:
+        os.write(w, data.tobytes())
+        os.close(w)
+        got = []
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            out, ready, _ = pool.gather()
+            if ready[0]:
+                got.append(out[0].copy())
+            if pool.stream_done(0):
+                break
+            time.sleep(0.002)
+        flat = np.concatenate(got)
+        expect = np.zeros(11 * chunk, np.float32)
+        expect[: len(data)] = data.astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(flat, expect)
+    finally:
+        pool.close()
+        os.close(r)
+
+
+def test_fsm_active_mask():
+    """Streams masked inactive must not advance state or chunk counters."""
+    fsm = native.NativeFsm(
+        2, threshold=0.5, neg_threshold=0.35, min_silence_chunks=2, min_speech_chunks=3
+    )
+    speech = np.array([[0.9], [0.9]], np.float32)
+    silence = np.zeros((2, 1), np.float32)
+    for _ in range(6):
+        fsm.feed(speech, active=np.array([1, 0], np.uint8))
+    events = []
+    for _ in range(4):
+        events += fsm.feed(silence, active=np.array([1, 0], np.uint8))
+    assert events == [(0, 0, 6)]
+    np.testing.assert_array_equal(fsm.chunk_index, [10, 0])
+
+
 def test_fsm_state_carries_across_slabs():
     cfg = SegmenterConfig(speech_pad_s=0.0)
     probs = np.zeros((1, 20), np.float32)
