@@ -70,12 +70,22 @@ VadcPool* vadc_pool_create(int n_streams, int chunk_samples, int ring_chunks) {
     return pool;
 }
 
+// (Re)assign a source to a slot. Fully resets the slot's ingest state so
+// slots can be recycled across connections. Caller must ensure the slot is
+// idle (previous source at EOF and drained) before reassigning.
 int vadc_pool_add_fd(VadcPool* pool, int stream_idx, int fd) {
     if (stream_idx < 0 || stream_idx >= pool->n_streams) return -1;
     int flags = fcntl(fd, F_GETFL, 0);
     fcntl(fd, F_SETFL, flags | O_NONBLOCK);
     std::lock_guard<std::mutex> lock(pool->fd_mutex);
-    pool->streams[stream_idx].fd = fd;
+    Stream& s = pool->streams[stream_idx];
+    s.partial.clear();
+    s.has_byte = false;
+    s.drained = false;
+    s.head.store(0, std::memory_order_relaxed);
+    s.tail.store(0, std::memory_order_relaxed);
+    s.eof.store(false, std::memory_order_release);
+    s.fd = fd;
     return 0;
 }
 

@@ -1,0 +1,275 @@
+"""Multi-client VAD serving daemon.
+
+TCP line protocol: a client connects, streams raw 16 kHz mono s16le PCM, and
+receives speech-segment events as `start,end\\n` (seconds, padded/merged —
+the CLI's output contract) while the stream is live. Half-closing the write
+side (or disconnecting) ends the stream; the server applies the EOF snap,
+flushes the final segment, and reuses the slot.
+
+Architecture (the full serving composition):
+  * client sockets are drained GIL-free by the native StreamPool into
+    per-stream chunk rings;
+  * one engine loop advances ALL active slots per tick in a single batched
+    device call (LSTM state device-resident, masked so idle slots hold);
+  * the segmentation FSM runs in the native C++ kernel with per-stream chunk
+    counters; pad/merge and the EOF snap run on host per event.
+
+    python -m vadc_tpu.server --port 7355 --max_streams 64 [--fast]
+    # then: cat audio.s16le | nc -q1 localhost 7355
+"""
+
+from __future__ import annotations
+
+import argparse
+import socket
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+class _Slot:
+    __slots__ = ("conn", "pending", "done_sent")
+
+    def __init__(self, conn: socket.socket):
+        self.conn = conn
+        self.pending: tuple[int, int] | None = None  # merged segment (chunks)
+        self.done_sent = False
+
+
+class VadServer:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 7355,
+        *,
+        max_streams: int = 64,
+        model: str | None = None,
+        fast: bool = False,
+        sequence_count: int = 1536,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from vadc_tpu import native
+        from vadc_tpu.cli.main import resolve_weights_path, clamp_sequence_count
+        from vadc_tpu.cli.segmenter import SegmenterConfig
+        from vadc_tpu.engine.runner import StreamRunner, StreamState, _step
+        from vadc_tpu.models.weights import load_params
+        from vadc_tpu.runtime import enable_persistent_compilation_cache
+
+        if not native.available():
+            raise RuntimeError("native library required (make -C native)")
+        enable_persistent_compilation_cache()
+        self._jnp = jnp
+        self.family, params = load_params(resolve_weights_path(model))
+        self.chunk = clamp_sequence_count(self.family, sequence_count)
+        self.n = max_streams
+        self.runner = StreamRunner(self.family, params, fast_math=fast)
+        self.state = self.runner.init_state(self.n)
+        self.cfg = SegmenterConfig.from_ms(chunk_samples=self.chunk)
+        self.fsm = native.NativeFsm(
+            self.n,
+            threshold=self.cfg.threshold,
+            neg_threshold=self.cfg.neg_threshold,
+            min_silence_chunks=self.cfg.min_silence_chunks,
+            min_speech_chunks=self.cfg.min_speech_chunks,
+        )
+        self.pool = native.StreamPool(self.n, self.chunk, ring_chunks=64)
+        self.slots: list[_Slot | None] = [None] * self.n
+        self._free = list(range(self.n))
+        self._lock = threading.Lock()
+        self._reset_requests: list[int] = []
+        self.host, self.port = host, port
+        self._stop = threading.Event()
+
+        # one jitted tick: batched step + masked merge (idle slots hold) +
+        # masked reset (fresh slots restart from zeros)
+        import functools
+
+        step = functools.partial(_step, self.runner.module, self.family)
+
+        @jax.jit
+        def tick(params, batch, state, active, reset):
+            if fast:
+                from vadc_tpu.nn import functional as F
+
+                with F.fast_math():
+                    probs, new_state = step(params, batch, state)
+            else:
+                probs, new_state = step(params, batch, state)
+
+            def merge(new, old):
+                # broadcast the per-stream masks onto [L, B, H] or [B, C]
+                if new.ndim == 3:
+                    m, r = active[None, :, None], reset[None, :, None]
+                else:
+                    m, r = active[:, None], reset[:, None]
+                kept = jnp.where(m, new, old)
+                return jnp.where(r, jnp.zeros_like(kept), kept)
+
+            merged = StreamState(
+                merge(new_state.h, state.h),
+                merge(new_state.c, state.c),
+                None
+                if state.context is None
+                else merge(new_state.context, state.context),
+            )
+            return probs, merged
+
+        self._tick = tick
+        self._params = self.runner.params
+
+    # ---- client lifecycle -------------------------------------------------
+
+    def _accept_loop(self, server_sock: socket.socket) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = server_sock.accept()
+            except OSError:
+                return
+            with self._lock:
+                if not self._free:
+                    conn.sendall(b"error: server full\n")
+                    conn.close()
+                    continue
+                slot = self._free.pop()
+                self.slots[slot] = _Slot(conn)
+                self._reset_requests.append(slot)
+            self.pool.add_fd(slot, conn.fileno())
+
+    def _emit(self, slot: int, start_c: int, end_c: int, *, flush: bool = False) -> None:
+        """Pad/merge like the CLI (vadc.c:262-299) and send to the client."""
+        s = self.slots[slot]
+        if s is None:
+            return
+        spc, pad = self.cfg.seconds_per_chunk, self.cfg.speech_pad_s
+        if s.pending is not None:
+            pend_end_padded = s.pending[1] * spc + pad
+            new_start_padded = max(start_c * spc - pad, 0.0)
+            if pend_end_padded >= new_start_padded:
+                s.pending = (s.pending[0], end_c)
+            else:
+                self._send_segment(slot, *s.pending)
+                s.pending = (start_c, end_c)
+        else:
+            s.pending = (start_c, end_c)
+        if flush and s.pending is not None:
+            self._send_segment(slot, *s.pending)
+            s.pending = None
+
+    def _send_segment(self, slot: int, start_c: int, end_c: int) -> None:
+        s = self.slots[slot]
+        if s is None:
+            return
+        spc, pad = self.cfg.seconds_per_chunk, self.cfg.speech_pad_s
+        start = max(start_c * spc - pad, 0.0)
+        end = end_c * spc + pad
+        try:
+            s.conn.sendall(f"{start:.2f},{end:.2f}\n".encode())
+        except OSError:
+            pass
+
+    def _finish_slot(self, slot: int) -> None:
+        """EOF snap (vadc.c:1005-1027), flush, close, recycle."""
+        fsm = self.fsm
+        last_chunk = int(fsm.chunk_index[slot]) - 1
+        if fsm.triggered[slot]:
+            start = int(fsm.speech_start[slot])
+            if last_chunk - start > self.cfg.min_speech_chunks:
+                self._emit(slot, start, last_chunk)
+        s = self.slots[slot]
+        if s is not None and s.pending is not None:
+            self._send_segment(slot, *s.pending)
+            s.pending = None
+        # reset FSM state for reuse
+        fsm.triggered[slot] = 0
+        fsm.speech_start[slot] = 0
+        fsm.temp_end[slot] = 0
+        fsm.chunk_index[slot] = 0
+        if s is not None:
+            try:
+                s.conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            s.conn.close()
+        with self._lock:
+            self.slots[slot] = None
+            self._free.append(slot)
+
+    # ---- engine loop ------------------------------------------------------
+
+    def _engine_loop(self) -> None:
+        jnp = self._jnp
+        reset = np.zeros(self.n, bool)
+        while not self._stop.is_set():
+            with self._lock:
+                pending_resets = self._reset_requests
+                self._reset_requests = []
+            reset[:] = False
+            reset[pending_resets] = True
+
+            batch, ready, count = self.pool.gather()
+            active = ready > 0
+            if count or reset.any():
+                probs, self.state = self._tick(
+                    self._params,
+                    jnp.asarray(batch),
+                    self.state,
+                    jnp.asarray(active),
+                    jnp.asarray(reset),
+                )
+                if count:
+                    events = self.fsm.feed(np.asarray(probs)[:, None], active=active)
+                    for slot, start_c, end_c in events:
+                        self._emit(slot, start_c, end_c)
+            # finish streams whose sockets have drained
+            for slot in range(self.n):
+                if self.slots[slot] is not None and self.pool.stream_done(slot):
+                    self._finish_slot(slot)
+            if not count:
+                time.sleep(0.002)
+
+    def serve_forever(self) -> None:
+        server_sock = socket.create_server((self.host, self.port))
+        self.pool.start()
+        acceptor = threading.Thread(
+            target=self._accept_loop, args=(server_sock,), daemon=True
+        )
+        acceptor.start()
+        print(
+            f"vadc server on {self.host}:{self.port} "
+            f"({self.family}, chunk {self.chunk}, {self.n} slots)",
+            file=sys.stderr,
+        )
+        try:
+            self._engine_loop()
+        finally:
+            self._stop.set()
+            server_sock.close()
+            self.pool.close()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vadc-server", description=__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7355)
+    p.add_argument("--max_streams", type=int, default=64)
+    p.add_argument("--model", default=None)
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--sequence_count", type=int, default=1536)
+    args = p.parse_args(argv)
+    VadServer(
+        args.host,
+        args.port,
+        max_streams=args.max_streams,
+        model=args.model,
+        fast=args.fast,
+        sequence_count=args.sequence_count,
+    ).serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
