@@ -53,6 +53,40 @@ def test_lstm_decoder_fused_matches_model(testdata):
     assert_close(cn, cn_ref, 1e-6, "lstm_decoder cn")
 
 
+def test_fused2d_matches_model(testdata):
+    """The 2-D whole-encoder kernel must reproduce the XLA forward."""
+    from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
+    from vadc_tpu.models.weights import silero_v31_params
+    from vadc_tpu.models import silero_v31
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    rng = np.random.default_rng(9)
+    audio = jnp.asarray(rng.normal(size=(8, 1536)).astype(np.float32) * 0.1)
+    h, c = silero_v31.init_state(8)
+    probs_ref, hn_ref, cn_ref = silero_v31.forward(params, audio, h, c)
+    probs, hn, cn = forward_fused2d(params, audio, h, c, block_streams=4)
+    assert_close(probs, probs_ref, 1e-6, "fused2d probs")
+    assert_close(hn, hn_ref, 1e-5, "fused2d hn")
+    assert_close(cn, cn_ref, 1e-4, "fused2d cn")
+
+
+def test_fused2d_state_carry(testdata):
+    """Carried LSTM state must thread correctly through the fused kernel."""
+    from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
+    from vadc_tpu.models.weights import silero_v31_params
+    from vadc_tpu.models import silero_v31
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    rng = np.random.default_rng(10)
+    h, c = silero_v31.init_state(4)
+    hf, cf = h, c
+    for step in range(3):
+        audio = jnp.asarray(rng.normal(size=(4, 1536)).astype(np.float32) * 0.1)
+        p_ref, h, c = silero_v31.forward(params, audio, h, c)
+        p_f, hf, cf = forward_fused2d(params, audio, hf, cf, block_streams=4)
+        assert_close(p_f, p_ref, 1e-5, f"fused2d step {step}")
+
+
 def test_lstm_fused_golden(testdata):
     from vadc_tpu.kernels.lstm import lstm_fused
 

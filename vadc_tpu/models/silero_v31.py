@@ -99,17 +99,18 @@ def forward(
 def forward_pallas(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """forward with the LSTM+decoder replaced by the fused Pallas kernel
-    (state and weights VMEM-resident across all scan steps; compiles on TPU
-    within the current toolchain's 2-D-dot subset). Identical numerics to
-    `forward` within fp32 accumulation order."""
-    from vadc_tpu.kernels.lstm import lstm_decoder_fused
+    """forward with the encoder+LSTM+decoder fused into ONE Pallas kernel
+    (kernels/silero_v31_fused2d — the 2-D-only formulation the current
+    Mosaic toolchain compiles). STFT + adaptive norm stay in XLA. Numerics
+    match `forward` within fp32 accumulation order (probs ~1e-7).
 
-    feats = encode_nlc(params, audio)  # [B, T, 64]
-    return lstm_decoder_fused(
-        feats, h, c, params["lstm_w"], params["lstm_b"],
-        params["dec_w"], params["dec_b"],
-    )
+    Inherits bf16 fast-math from the active functional.fast_math() trace
+    context (the runner's fast_math flag)."""
+    from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
+    from vadc_tpu.nn import functional as F
+
+    fast = F._PRECISION != F.HIGHEST
+    return forward_fused2d(params, audio, h, c, fast=fast)
 
 
 def forward_minibatched(

@@ -432,7 +432,13 @@ def lstm_minibatched(
 def stft_magnitude_nlc(
     audio: jax.Array, basis: jax.Array, *, pad_left: int, pad_right: int, hop: int
 ) -> jax.Array:
-    """STFT magnitude, frames-major: [B, F, cutoff]."""
+    """STFT magnitude, frames-major: [B, F, cutoff].
+
+    Frame extraction + one MXU matmul. (A gather-free hop-block matmul
+    decomposition was tried and benchmarked SLOWER under XLA here — the
+    64-deep contraction and shifted-slice intermediates cost more than the
+    frame gather; the hop-block form only wins inside the fused Pallas
+    kernel where frames would otherwise be materialized in VMEM.)"""
     n_filters, n_fft = basis.shape
     cutoff = n_fft // 2 + 1
     padded = reflect_pad_last(audio, pad_left, pad_right)
