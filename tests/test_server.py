@@ -36,7 +36,7 @@ def server(testdata):
     srv.pool.start()
     threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
     threading.Thread(target=srv._engine_loop, daemon=True).start()
-    yield port
+    yield port, srv
     srv._stop.set()
     sock.close()
 
@@ -73,10 +73,11 @@ def audio():
 
 
 def test_concurrent_clients(server, audio):
+    port, _srv = server
     results = {}
 
     def go(name):
-        results[name] = _run_client(server, audio)
+        results[name] = _run_client(port, audio)
 
     threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
     for t in threads:
@@ -90,16 +91,34 @@ def test_concurrent_clients(server, audio):
 
 
 def test_slot_reuse_and_overflow(server, audio):
-    # both slots were used and freed by the previous test; reuse one
-    segs = _run_client(server, audio)
+    import time
+
+    port, srv = server
+
+    def wait_free(n, timeout=15.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with srv._lock:
+                if len(srv._free) >= n:
+                    return
+            time.sleep(0.01)
+        raise AssertionError(f"slots not freed: {srv._free}")
+
+    # both slots were used by the previous test; wait for reclamation, reuse
+    wait_free(2)
+    segs = _run_client(port, audio)
     assert len(segs) == 1
 
     # occupy both slots with never-ending clients, third gets "server full"
-    hold = [socket.create_connection(("127.0.0.1", server)) for _ in range(2)]
-    import time
-
-    time.sleep(0.3)  # let the acceptor assign slots
-    c3 = socket.create_connection(("127.0.0.1", server))
+    wait_free(2)
+    hold = [socket.create_connection(("127.0.0.1", port)) for _ in range(2)]
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with srv._lock:
+            if not srv._free:
+                break
+        time.sleep(0.01)
+    c3 = socket.create_connection(("127.0.0.1", port))
     c3.settimeout(10)
     assert b"server full" in c3.recv(100)
     c3.close()
