@@ -50,6 +50,23 @@ def test_extraction_8k_branch():
     assert not np.array_equal(
         a16["stage1.dw_conv_weights"], a8["stage1.dw_conv_weights"]
     )
+    assert detect_model_family(a8) == "v4_8k"
+    assert detect_model_family(a16) == "v4"
+
+    # the 8k family runs end-to-end with half-rate chunks and stride-1 stage 3
+    from vadc_tpu.models.weights import load_params_from_tensors
+    from vadc_tpu.engine.runner import StreamRunner
+    from vadc_tpu.cli.main import clamp_sequence_count
+
+    family, params = load_params_from_tensors(a8)
+    assert family == "v4_8k"
+    seq = clamp_sequence_count(family, 768)
+    assert seq == 768
+    runner = StreamRunner(family, params)
+    chunks = jnp.zeros((2, 3, seq), jnp.float32)
+    probs, _ = runner.scan(chunks, runner.init_state(2))
+    assert probs.shape == (2, 3)
+    assert float(np.asarray(probs).max()) < 0.5  # silence
 
 
 def test_extraction_structure(v4_tensors):

@@ -91,9 +91,12 @@ def resolve_weights_path(model_arg: str | None) -> Path:
 
 def clamp_sequence_count(family: str, requested: int) -> int:
     """Model-imposed chunk-size limits (reference vadc.h:85-94, clamp
-    vadc.c:742-754): v3/v4 accept [512, 1536]; v5 is fixed at 512."""
+    vadc.c:742-754): v3/v4 accept [512, 1536]; v5 is fixed at 512; the v4
+    8 kHz branch uses half-rate chunk sizes."""
     if family == "v5":
         return 512
+    if family == "v4_8k":
+        return max(256, min(768, requested))
     return max(512, min(1536, requested))
 
 

@@ -30,6 +30,7 @@ from vadc_tpu.models import silero_v31, silero_v4, silero_v5
 _FAMILIES = {
     "v3": silero_v31,
     "v4": silero_v4,
+    "v4_8k": silero_v4.v4_8k,
     "v5": silero_v5,
 }
 

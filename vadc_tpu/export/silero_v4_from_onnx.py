@@ -153,6 +153,8 @@ def extract_silero_v4(
         bs.append(b)
     archive["weights"] = np.stack(ws)
     archive["biases"] = np.stack(bs)
+    # record which branch this is so the runtime picks the right strides
+    archive["meta.sample_rate"] = np.asarray([float(sample_rate)], np.float32)
     return archive
 
 

@@ -121,3 +121,28 @@ def forward_minibatched(
     feats = encode(params, audio)
     out, hn, cn = F.lstm_minibatched(feats, h, c, params["lstm_w"], params["lstm_b"])
     return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
+
+
+class _V48k:
+    """Module shim for the 8 kHz branch of the official v4 model (stage-3
+    conv stride 1 instead of 2; chunk sizes are in 8 kHz samples)."""
+
+    SAMPLE_RATE = 8000
+    NUM_LSTM_LAYERS = NUM_LSTM_LAYERS
+    HIDDEN = HIDDEN
+    init_state = staticmethod(init_state)
+
+    @staticmethod
+    def forward(params, audio, h, c):
+        feats = encode(params, audio, sample_rate=8000)
+        out, hn, cn = F.lstm(feats, h, c, params["lstm_w"], params["lstm_b"])
+        return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
+
+    @staticmethod
+    def forward_minibatched(params, audio, h, c):
+        feats = encode(params, audio, sample_rate=8000)
+        out, hn, cn = F.lstm_minibatched(feats, h, c, params["lstm_w"], params["lstm_b"])
+        return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
+
+
+v4_8k = _V48k()

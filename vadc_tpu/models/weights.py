@@ -109,6 +109,9 @@ def detect_model_family(tensors: dict[str, np.ndarray]) -> str:
     if "transformer_l1.dw_conv_weights" in tensors:
         return "v3"
     if "stage1.dw_conv_weights" in tensors:
+        sr = tensors.get("meta.sample_rate")
+        if sr is not None and int(sr[0]) == 8000:
+            return "v4_8k"
         return "v4"
     if "enc1.weight" in tensors:
         return "v5"
@@ -129,7 +132,9 @@ def load_params_from_tensors(tensors: dict[str, np.ndarray]) -> tuple[str, dict]
         return family, silero_v5_params(tensors)
     from vadc_tpu.models.silero_v4 import silero_v4_params
 
-    return family, silero_v4_params(tensors)
+    return family, silero_v4_params(
+        tensors, sample_rate=8000 if family == "v4_8k" else 16000
+    )
 
 
 def load_params(path: str | Path) -> tuple[str, dict]:
