@@ -5,7 +5,6 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tests.conftest import assert_close
 from vadc_tpu.io.testtensor import load_testtensor
 from vadc_tpu.models.weights import silero_v31_params
 from vadc_tpu.engine.runner import StreamRunner

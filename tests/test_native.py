@@ -6,7 +6,7 @@ import pytest
 
 from vadc_tpu import native
 from vadc_tpu.io.pcm import s16le_to_f32 as py_s16le_to_f32
-from vadc_tpu.cli.segmenter import SegmenterConfig, Segmenter
+from vadc_tpu.cli.segmenter import SegmenterConfig
 
 
 def test_s16le_conversion_matches_python():

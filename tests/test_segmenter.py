@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 from vadc_tpu.cli.segmenter import (
-    Segmenter,
     SegmenterConfig,
     duration_ms_to_chunks,
     format_segment_centiseconds,

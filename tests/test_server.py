@@ -66,8 +66,6 @@ def _run_client(port: int, pcm: bytes) -> list[tuple[float, float]]:
 @pytest.fixture(scope="module")
 def audio():
     sil = (np.random.default_rng(0).normal(size=16000) * 0.001).astype(np.float32)
-    from vadc_tpu.io.pcm import s16le_to_f32
-
     a = np.concatenate([sil, _speechlike(2.0), sil])
     return f32_to_s16le(a)
 

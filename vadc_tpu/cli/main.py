@@ -18,8 +18,6 @@ import argparse
 import sys
 from pathlib import Path
 
-import numpy as np
-
 from vadc_tpu.cli.segmenter import (
     Segmenter,
     SegmenterConfig,

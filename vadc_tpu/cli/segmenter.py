@@ -18,8 +18,8 @@ vadc_tpu.engine.vectorized_segmenter.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Iterable, Iterator
+from dataclasses import dataclass
+from typing import Iterable, Iterator
 
 
 def duration_ms_to_chunks(duration_ms: float, chunk_duration_ms: float) -> int:

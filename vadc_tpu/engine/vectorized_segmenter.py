@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vadc_tpu.cli.segmenter import Segmenter, SegmenterConfig
+from vadc_tpu.cli.segmenter import SegmenterConfig
 
 
 class FsmState(NamedTuple):

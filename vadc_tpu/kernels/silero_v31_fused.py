@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from vadc_tpu.models.weights import V3_STRIDES
 from vadc_tpu.nn.functional import ADAPTIVE_NORM_FILTER, LAYER_NORM_EPS, BATCH_NORM_EPS
