@@ -145,6 +145,47 @@ def v31_archive_from_state_dict(sd: Mapping) -> dict[str, np.ndarray]:
     return archive
 
 
+def v5_archive_from_state_dict(sd: Mapping) -> dict[str, np.ndarray]:
+    """Build the v5 weight archive from the upstream jit module's state dict.
+
+    Key layout per the upstream v5 jit module (reference
+    silero_vad.py:380-392 loads `v5._model.state_dict()` whose keys are
+    `stft.forward_basis_buffer`, `encoder.{0..3}.reparam_conv.{weight,bias}`,
+    `decoder.rnn.{weight_ih,weight_hh,bias_ih,bias_hh}[_l0]`, and
+    `decoder.decoder.2.{weight,bias}`). Accepts keys with or without a
+    `_model.` prefix and with or without the `_l0` LSTM suffix."""
+
+    def get(key: str) -> np.ndarray:
+        for candidate in (key, f"_model.{key}"):
+            if candidate in sd:
+                return _to_numpy(sd[candidate])
+        raise KeyError(f"missing weight tensor {key!r}")
+
+    archive: dict[str, np.ndarray] = {
+        "forward_basis_buffer": get("stft.forward_basis_buffer")
+    }
+    for i in range(4):
+        archive[f"enc{i + 1}.weight"] = get(f"encoder.{i}.reparam_conv.weight")
+        archive[f"enc{i + 1}.bias"] = get(f"encoder.{i}.reparam_conv.bias")
+    def get_rnn(part: str) -> np.ndarray:
+        for key in (f"decoder.rnn.{part}_l0", f"decoder.rnn.{part}"):
+            try:
+                return get(key)
+            except KeyError:
+                continue
+        raise KeyError(f"missing LSTM tensor decoder.rnn.{part}")
+
+    w_ih = get_rnn("weight_ih")
+    w_hh = get_rnn("weight_hh")
+    b_ih = get_rnn("bias_ih")
+    b_hh = get_rnn("bias_hh")
+    archive["weights"] = np.concatenate([w_ih, w_hh], axis=-1)[None]  # [1, 512, 256]
+    archive["biases"] = (b_ih + b_hh)[None]  # [1, 512]
+    archive["decoder_weights"] = get("decoder.decoder.2.weight")
+    archive["decoder_biases"] = get("decoder.decoder.2.bias")
+    return archive
+
+
 def export_v31(checkpoint_path: str | Path, out_path: str | Path) -> None:
     """torch checkpoint (plain state_dict save or jit archive) -> archive."""
     import torch
@@ -155,3 +196,15 @@ def export_v31(checkpoint_path: str | Path, out_path: str | Path) -> None:
     except Exception:
         sd = torch.jit.load(str(path), map_location="cpu").state_dict()
     save_testtensor(out_path, v31_archive_from_state_dict(sd))
+
+
+def export_v5(checkpoint_path: str | Path, out_path: str | Path) -> None:
+    """Upstream v5 jit archive (or a plain state_dict save) -> archive."""
+    import torch
+
+    path = Path(checkpoint_path)
+    try:
+        sd = torch.load(path, weights_only=True, map_location="cpu")
+    except Exception:
+        sd = torch.jit.load(str(path), map_location="cpu").state_dict()
+    save_testtensor(out_path, v5_archive_from_state_dict(sd))
