@@ -74,7 +74,10 @@ def transformer_layer_params(
     for out_key, (name, kind) in _TRANSFORMER_KEYS.items():
         full = f"{prefix}{name}"
         if full not in tensors:
-            if out_key in ("proj_w", "proj_b"):
+            # proj is architecturally absent on stage 3; batch-norm tensors
+            # are absent when the exporter folded BN into the stage conv
+            # (the official .onnx exports do this)
+            if out_key in ("proj_w", "proj_b") or out_key.startswith("bn_"):
                 continue
             raise KeyError(f"missing weight tensor {full!r}")
         p[out_key] = _canon(tensors[full], kind)

@@ -369,7 +369,8 @@ def transformer_layer(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
     )
     h = transformer_block(h, p)
     h = pointwise_conv(h, p["conv_w"], p["conv_b"], stride=stride)
-    h = batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
+    if "bn_w" in p:  # absent when the exporter folded BN into the conv
+        h = batch_norm1d(h, p["bn_mean"], p["bn_var"], p["bn_w"], p["bn_b"])
     return jax.nn.relu(h)
 
 
@@ -539,8 +540,9 @@ def transformer_layer_nlc(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
     if stride != 1:
         h = h[:, ::stride, :]
     h = linear(h, p["conv_w"], p["conv_b"])
-    inv = lax.rsqrt(p["bn_var"] + BATCH_NORM_EPS)
-    h = (h - p["bn_mean"]) * inv * p["bn_w"] + p["bn_b"]
+    if "bn_w" in p:  # absent when the exporter folded BN into the conv
+        inv = lax.rsqrt(p["bn_var"] + BATCH_NORM_EPS)
+        h = (h - p["bn_mean"]) * inv * p["bn_w"] + p["bn_b"]
     return jax.nn.relu(h)
 
 
