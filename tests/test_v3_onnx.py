@@ -35,6 +35,20 @@ def test_bit_identical_where_unfolded(extracted, testdata):
     assert not any("batch_norm" in k for k in extracted)
 
 
+def test_load_params_accepts_onnx_directly():
+    """--model file.onnx parity with the reference's ORT backend."""
+    if not V3_ONNX.exists():
+        pytest.skip("v3 onnx not available")
+    from vadc_tpu.models.weights import load_params
+
+    family, params = load_params(V3_ONNX)
+    assert family == "v3"
+    v4 = V3_ONNX.parent / "silero_vad_v4.onnx"
+    if v4.exists():
+        family4, _ = load_params(v4)
+        assert family4 == "v4"
+
+
 def test_probabilities_match_golden_model(extracted, testdata):
     family, p_onnx = load_params_from_tensors(extracted)
     assert family == "v3"

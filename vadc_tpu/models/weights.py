@@ -141,5 +141,20 @@ def load_params_from_tensors(tensors: dict[str, np.ndarray]) -> tuple[str, dict]
 
 
 def load_params(path: str | Path) -> tuple[str, dict]:
-    """Load a .testtensor weight archive, returning (family, params)."""
+    """Load model weights, returning (family, params).
+
+    Accepts .testtensor archives or official .onnx models directly (the
+    reference's ORT backend takes .onnx via --model; here the weights are
+    extracted in-process by the dependency-free protobuf reader — v4/v4_8k
+    fused models and plain v3 graphs are auto-distinguished)."""
+    path = Path(path)
+    if path.suffix.lower() == ".onnx":
+        from vadc_tpu.export.silero_v3_from_onnx import extract_silero_v3
+        from vadc_tpu.export.silero_v4_from_onnx import extract_silero_v4
+
+        try:
+            tensors = extract_silero_v4(path)
+        except (StopIteration, AssertionError, KeyError, IndexError):
+            tensors = extract_silero_v3(path)
+        return load_params_from_tensors(tensors)
     return load_params_from_tensors(load_testtensor(path))
