@@ -46,6 +46,43 @@ def test_empty_audio(testdata):
     assert api.detect_speech_samples(np.zeros(0, np.float32), model=model) == []
 
 
+def test_stream_segments_generator(testdata):
+    """The generator API must yield the same segments as detect_speech."""
+    import io
+
+    from vadc_tpu.io.pcm import f32_to_s16le, s16le_to_f32
+
+    model = str(testdata / "silero_v31_16k.testtensor")
+    sil = (np.random.default_rng(0).normal(size=16000) * 0.001).astype(np.float32)
+    pcm = f32_to_s16le(np.concatenate([sil, _speechlike(2.0), sil]))
+    segs = list(api.stream_segments(io.BytesIO(pcm), model=model))
+    want = api.detect_speech_samples(s16le_to_f32(pcm), model=model)
+    assert len(segs) == len(want) == 1
+    assert segs[0] == pytest.approx(want[0], abs=1e-6)
+
+
+def test_testtensor_fuzz():
+    """The parser must reject, not crash on, malformed archives."""
+    from vadc_tpu.io.testtensor import TestTensorError, load_testtensor_bytes, save_testtensor_bytes
+
+    good = save_testtensor_bytes({"a": np.ones((2, 3), np.float32)})
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        blob = bytearray(good)
+        for _ in range(rng.integers(1, 6)):
+            blob[rng.integers(0, len(blob))] = rng.integers(0, 256)
+        try:
+            load_testtensor_bytes(bytes(blob))
+        except (TestTensorError, UnicodeDecodeError, ValueError, struct_error):
+            pass
+
+
+try:
+    from struct import error as struct_error
+except ImportError:  # pragma: no cover
+    struct_error = ValueError
+
+
 def test_pack_roundtrip(testdata, tmp_path):
     from vadc_tpu.export.pack import pack
 

@@ -90,6 +90,49 @@ def detect_speech_samples(
     return segment_probabilities(probs[:emit], config)
 
 
+def stream_segments(
+    stream,
+    *,
+    model: str | None = None,
+    sequence_count: int = 1536,
+    min_silence_ms: float = 200.0,
+    min_speech_ms: float = 250.0,
+    threshold: float = 0.5,
+    neg_threshold_relative: float = 0.15,
+    speech_pad_ms: float = 30.0,
+):
+    """Incrementally yield (start_s, end_s) segments from a binary stream of
+    s16le 16 kHz mono PCM — the generator form of the CLI loop, for library
+    users consuming live pipes/sockets."""
+    from vadc_tpu.cli.main import clamp_sequence_count, resolve_weights_path, WINDOW_CHUNKS
+    from vadc_tpu.cli.segmenter import Segmenter
+    from vadc_tpu.engine.runner import MinibatchRunner
+    from vadc_tpu.io.pcm import iter_sample_windows
+    from vadc_tpu.models.weights import load_params
+    from vadc_tpu.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    family, params = load_params(resolve_weights_path(model))
+    seq = clamp_sequence_count(family, sequence_count)
+    runner = MinibatchRunner(family, params, batch_size=WINDOW_CHUNKS, chunk_samples=seq)
+    config = SegmenterConfig.from_ms(
+        chunk_samples=seq,
+        min_silence_ms=min_silence_ms,
+        min_speech_ms=min_speech_ms,
+        threshold=threshold,
+        neg_threshold_relative=neg_threshold_relative,
+        speech_pad_ms=speech_pad_ms,
+    )
+    segmenter = Segmenter(config)
+    window_samples = seq * WINDOW_CHUNKS
+    for window, valid in iter_sample_windows(stream, window_samples):
+        probs = runner.process_window(window)
+        emit = int(valid / seq) if valid < window_samples else len(probs)
+        for prob in probs[:emit]:
+            yield from segmenter.feed(prob)
+    yield from segmenter.finish()
+
+
 def detect_speech(
     filename: str | Path,
     *,
