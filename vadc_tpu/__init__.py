@@ -17,3 +17,12 @@ Layering (bottom to top):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: vadc_tpu.api, vadc_tpu.native, ...
+    if name in ("api", "native", "tracing", "runtime"):
+        import importlib
+
+        return importlib.import_module(f"vadc_tpu.{name}")
+    raise AttributeError(f"module 'vadc_tpu' has no attribute {name!r}")
