@@ -122,7 +122,11 @@ def _main(argv: list[str] | None = None) -> int:
         neg_threshold_relative=args.neg_threshold_relative,
         speech_pad_ms=args.speech_pad,
     )
-    segmenter = BatchSegmenter(seg_config, n_streams)
+    # device backend: only sparse closed-segment events cross the
+    # device->host boundary per slab; materializing the full probability
+    # slab for the native host FSM costs seconds per slab through
+    # remote-device tunnels (measured 2-4 s vs ~30 ms of events)
+    segmenter = BatchSegmenter(seg_config, n_streams, backend="device")
 
     for off in range(0, t_pad, slab):
         chunk_slab = jnp.asarray(grid[:, off : off + slab])

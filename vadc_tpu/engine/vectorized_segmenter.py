@@ -115,28 +115,50 @@ class BatchSegmenter:
     """Incremental multi-stream segmentation over probability slabs.
 
     Feed probabilities in [B, T_slab] slabs (any slab sizes); the per-chunk
-    FSM runs vectorized on device, closed-segment events are accumulated on
-    host; `finish` applies the EOF snap for still-open segments and the
-    pad/merge pass. Semantics match the scalar CLI Segmenter."""
+    FSM runs in the native C++ kernel when available (probabilities come to
+    host in one transfer; the FSM is microseconds there), falling back to
+    the on-device vectorized FSM; `finish` applies the EOF snap for
+    still-open segments and the pad/merge pass. Semantics match the scalar
+    CLI Segmenter."""
 
-    def __init__(self, config: SegmenterConfig, n_streams: int):
+    def __init__(self, config: SegmenterConfig, n_streams: int, *, backend: str = "auto"):
+        from vadc_tpu import native
+
         self.config = config
         self.n_streams = n_streams
-        self.state = init_fsm_state(n_streams)
         self._raw: list[list[tuple[int, int]]] = [[] for _ in range(n_streams)]
-        self._step = jax.jit(
-            segment_batch,
-            static_argnames=(
-                "threshold",
-                "neg_threshold",
-                "min_silence_chunks",
-                "min_speech_chunks",
-            ),
-        )
+        use_native = backend == "native" or (backend == "auto" and native.available())
+        if backend not in ("auto", "native", "device"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if use_native:
+            self._native = native.NativeFsm(
+                n_streams,
+                threshold=config.threshold,
+                neg_threshold=config.neg_threshold,
+                min_silence_chunks=config.min_silence_chunks,
+                min_speech_chunks=config.min_speech_chunks,
+            )
+            self.state = None
+        else:
+            self._native = None
+            self.state = init_fsm_state(n_streams)
+            self._step = jax.jit(
+                segment_batch,
+                static_argnames=(
+                    "threshold",
+                    "neg_threshold",
+                    "min_silence_chunks",
+                    "min_speech_chunks",
+                ),
+            )
 
     def feed(self, probs) -> None:
         import numpy as np
 
+        if self._native is not None:
+            for i, start, end in self._native.feed(np.asarray(probs, np.float32)):
+                self._raw[i].append((start, end))
+            return
         cfg = self.config
         self.state, (closed, seg_start, seg_end) = self._step(
             jnp.asarray(probs, jnp.float32),
@@ -162,9 +184,14 @@ class BatchSegmenter:
         import numpy as np
 
         cfg = self.config
-        triggered = np.asarray(self.state.triggered)
-        open_start = np.asarray(self.state.speech_start)
-        total_chunks = int(self.state.chunk_index)
+        if self._native is not None:
+            triggered = self._native.triggered.astype(bool)
+            open_start = self._native.speech_start
+            total_chunks = int(self._native.chunk_index.max()) if self.n_streams else 0
+        else:
+            triggered = np.asarray(self.state.triggered)
+            open_start = np.asarray(self.state.speech_start)
+            total_chunks = int(self.state.chunk_index)
         if valid_chunks is None:
             valid_chunks = [total_chunks] * self.n_streams
 
