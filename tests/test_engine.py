@@ -107,3 +107,33 @@ def test_stream_state_pytree_roundtrip(v31_params):
     back = jax.tree.unflatten(treedef, leaves)
     assert isinstance(back, StreamState)
     assert back.h.shape == (2, 3, 64)
+
+
+def test_minibatch_runner_floor_emit(v31_params):
+    """process_window must return exactly one probability per chunk in the
+    window even when batch_size does not divide the chunk count (round-1
+    advisor finding: --batch 40 emitted ~25% spurious zero-pad probabilities,
+    skewing every segment timestamp; reference emit rule vadc.c:964)."""
+    from tests.conftest import assert_close
+
+    samples = np.asarray(_random_chunks((6 * 1536,), seed=5))
+    r4 = MinibatchRunner("v3", v31_params, batch_size=4, chunk_samples=1536)
+    probs4 = r4.process_window(samples)
+    assert len(probs4) == 6  # not 8 (= 2 batches of 4)
+
+    # the real chunks' probabilities must be unaffected by the pad entries
+    r6 = MinibatchRunner("v3", v31_params, batch_size=6, chunk_samples=1536)
+    probs6 = r6.process_window(samples)
+    assert_close(np.asarray(probs4), np.asarray(probs6), 1e-5, "pad-safe probs")
+
+
+def test_step_state_is_donated(v31_params):
+    """The passed-in state is consumed (buffers aliased into the output) —
+    the XLA equivalent of the reference's in-place h/c rotation
+    (vadc.c:83-84)."""
+    runner = StreamRunner("v3", v31_params)
+    state = runner.init_state(2)
+    chunks = _random_chunks((2, 1536), seed=6)
+    _, new_state = runner.step(chunks, state)
+    assert state.h.is_deleted(), "input state.h should be donated"
+    assert not new_state.h.is_deleted()

@@ -101,3 +101,35 @@ def test_lstm_fused_golden(testdata):
     ref = d["output"]
     assert_close(y[0], ref[:7], 1e-4, "fused lstm golden y")
     assert_close(hn[:, 0, :], ref[7:9], 1e-4, "fused lstm golden hn")
+
+
+def test_fused2d_bn_folded_archive(testdata):
+    """StreamRunner(use_pallas=True) must work with BN-folded archives
+    (official .onnx v3 extraction omits the batch-norm tensors) — the kernel
+    skips the BN affine exactly like the XLA paths (round-1 advisor)."""
+    from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
+    from vadc_tpu.models.weights import silero_v31_params
+    from vadc_tpu.models import silero_v31
+    from vadc_tpu.nn.functional import BATCH_NORM_EPS
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    folded_layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        scale = np.asarray(p["bn_w"]) / np.sqrt(np.asarray(p["bn_var"]) + BATCH_NORM_EPS)
+        p["conv_b"] = jnp.asarray(
+            (np.asarray(p["conv_b"]) - np.asarray(p["bn_mean"])) * scale
+            + np.asarray(p["bn_b"])
+        )
+        p["conv_w"] = jnp.asarray(np.asarray(p["conv_w"]) * scale[:, None])
+        for k in ("bn_w", "bn_b", "bn_mean", "bn_var"):
+            p.pop(k)
+        folded_layers.append(p)
+    folded = {**params, "layers": folded_layers}
+
+    rng = np.random.default_rng(11)
+    audio = jnp.asarray(rng.normal(size=(4, 1536)).astype(np.float32) * 0.1)
+    h, c = silero_v31.init_state(4)
+    probs_ref, _, _ = silero_v31.forward(folded, audio, h, c)
+    probs, _, _ = forward_fused2d(folded, audio, h, c, block_streams=4)
+    assert_close(probs, probs_ref, 1e-5, "fused2d BN-folded probs")

@@ -127,7 +127,8 @@ def stream_segments(
     window_samples = seq * WINDOW_CHUNKS
     for window, valid in iter_sample_windows(stream, window_samples):
         probs = runner.process_window(window)
-        emit = int(valid / seq) if valid < window_samples else len(probs)
+        # floor emit semantics, unconditionally (reference vadc.c:964)
+        emit = valid // seq
         for prob in probs[:emit]:
             yield from segmenter.feed(prob)
     yield from segmenter.finish()

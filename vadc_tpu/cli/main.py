@@ -163,10 +163,12 @@ def _main(argv: list[str] | None = None) -> int:
         for window, valid in iter_sample_windows(stream, window_samples):
             stats.add_samples(valid)
             probs = runner.process_window(window)
-            # A short final window yields floor(valid/seq) real chunks; the
-            # zero-padded remainder is computed (state advances, matching the
-            # reference's padded final batch, vadc.c:88-99) but not emitted.
-            emit_count = int(valid / seq) if valid < window_samples else len(probs)
+            # floor(values_read / input_count) probabilities per window,
+            # unconditionally — the reference's emit rule (vadc.c:964): the
+            # zero-padded remainder of a short window is computed (state
+            # advances, matching the padded final batch, vadc.c:88-99) but
+            # never emitted.
+            emit_count = valid // seq
             for prob in probs[:emit_count]:
                 if args.raw_probabilities:
                     sys.stdout.write(f"{prob:f}\n")

@@ -108,8 +108,12 @@ class StreamRunner:
                 return inner
 
             step, scan = wrap(step), wrap(scan)
-        self._step = jax.jit(step)
-        self._scan = jax.jit(scan)
+        # State buffers are donated: the step/scan output (hn, cn, context)
+        # aliases the input buffers on device instead of copying — the XLA
+        # equivalent of the reference's in-place h/c rotation (vadc.c:83-84).
+        # Callers must treat the passed-in state as consumed.
+        self._step = jax.jit(step, donate_argnums=(2,))
+        self._scan = jax.jit(scan, donate_argnums=(2,))
 
     def init_state(self, n_streams: int) -> StreamState:
         return init_stream_state(self.family, n_streams)
@@ -165,7 +169,8 @@ class MinibatchRunner:
         mod = self.module
         self.h, self.c = mod.init_state(1)
         self.context = silero_v5.init_context(1) if family == "v5" else None
-        self._fwd = jax.jit(self._forward)
+        # h/c/context are donated (rotated in place on device, vadc.c:83-84)
+        self._fwd = jax.jit(self._forward, donate_argnums=(2, 3, 4))
 
     def _forward(self, params, chunks, h, c, context):
         if self.family == "v5":
@@ -197,4 +202,8 @@ class MinibatchRunner:
                 self.params, batch, self.h, self.c, self.context
             )
             probs_out.extend(float(p) for p in probs)
-        return probs_out
+        # A short final batch is zero-padded up to batch_size; the padded
+        # entries advance LSTM state (reference stale-probability semantics,
+        # vadc.c:88-99) but are NOT probabilities of real chunks — never
+        # return more than one probability per chunk in the window.
+        return probs_out[:n_chunks]

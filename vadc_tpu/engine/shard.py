@@ -67,6 +67,7 @@ class ShardedStreamRunner:
             step_fn,
             in_shardings=(replicated, batch0, state_shardings),
             out_shardings=(batch0, state_shardings),
+            donate_argnums=(2,),  # state aliased in place, per shard
         )
         chunks_scan = NamedSharding(mesh, P(STREAM_AXIS, None, None))
         probs_scan = NamedSharding(mesh, P(STREAM_AXIS, None))
@@ -74,6 +75,7 @@ class ShardedStreamRunner:
             scan_fn,
             in_shardings=(replicated, chunks_scan, state_shardings),
             out_shardings=(probs_scan, state_shardings),
+            donate_argnums=(2,),
         )
         self._state_shardings = state_shardings
 

@@ -149,8 +149,9 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
         # ---- strided 1x1 conv (selection matmul) + batchnorm + relu ----
         h = dot(sel_ref[:], h)
         h = dot(h, p["conv_w"][:].T) + p["conv_b"][:]
-        inv = lax.rsqrt(p["bn_var"][:] + BATCH_NORM_EPS)
-        h = (h - p["bn_mean"][:]) * inv * p["bn_w"][:] + p["bn_b"][:]
+        if "bn_w" in p:  # BN-folded archives (official .onnx) omit these
+            inv = lax.rsqrt(p["bn_var"][:] + BATCH_NORM_EPS)
+            h = (h - p["bn_mean"][:]) * inv * p["bn_w"][:] + p["bn_b"][:]
         return jax.nn.relu(h)
 
     def kernel(*refs):

@@ -21,6 +21,7 @@ Architecture (the full serving composition):
 from __future__ import annotations
 
 import argparse
+import select
 import socket
 import sys
 import threading
@@ -90,8 +91,20 @@ class VadServer:
 
         step = functools.partial(_step, self.runner.module, self.family)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def tick(params, batch, state, active, reset):
+            # Reset recycled slots BEFORE the step: a slot whose first audio
+            # chunk arrives in the same tick as its reset request must be
+            # computed from zeroed state, not the previous client's leftovers.
+            def zero_where_reset(x):
+                r = reset[None, :, None] if x.ndim == 3 else reset[:, None]
+                return jnp.where(r, jnp.zeros_like(x), x)
+
+            state = StreamState(
+                zero_where_reset(state.h),
+                zero_where_reset(state.c),
+                None if state.context is None else zero_where_reset(state.context),
+            )
             if fast:
                 from vadc_tpu.nn import functional as F
 
@@ -101,13 +114,9 @@ class VadServer:
                 probs, new_state = step(params, batch, state)
 
             def merge(new, old):
-                # broadcast the per-stream masks onto [L, B, H] or [B, C]
-                if new.ndim == 3:
-                    m, r = active[None, :, None], reset[None, :, None]
-                else:
-                    m, r = active[:, None], reset[:, None]
-                kept = jnp.where(m, new, old)
-                return jnp.where(r, jnp.zeros_like(kept), kept)
+                # idle slots hold their (possibly just-reset) state
+                m = active[None, :, None] if new.ndim == 3 else active[:, None]
+                return jnp.where(m, new, old)
 
             merged = StreamState(
                 merge(new_state.h, state.h),
@@ -166,10 +175,18 @@ class VadServer:
         spc, pad = self.cfg.seconds_per_chunk, self.cfg.speech_pad_s
         start = max(start_c * spc - pad, 0.0)
         end = end_c * spc + pad
-        try:
-            s.conn.sendall(f"{start:.2f},{end:.2f}\n".encode())
-        except OSError:
-            pass
+        # The socket is O_NONBLOCK (shared fd with the ingest pool); under
+        # client backpressure send() raises BlockingIOError — wait for
+        # writability and retry instead of dropping the segment line.
+        view = memoryview(f"{start:.2f},{end:.2f}\n".encode())
+        while view:
+            try:
+                view = view[s.conn.send(view) :]
+            except BlockingIOError:
+                if not select.select([], [s.conn], [], 5.0)[1]:
+                    break  # client unresponsive for 5 s: drop, don't wedge
+            except OSError:
+                break
 
     def _finish_slot(self, slot: int) -> None:
         """EOF snap (vadc.c:1005-1027), flush, close, recycle."""
