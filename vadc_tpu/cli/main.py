@@ -25,7 +25,13 @@ from vadc_tpu.cli.segmenter import (
     format_segment_seconds,
 )
 from vadc_tpu.cli.stats import Stats
-from vadc_tpu.io.pcm import SAMPLE_RATE, iter_sample_windows
+from vadc_tpu.io.pcm import (
+    BYTES_PER_SAMPLE,
+    SAMPLE_RATE,
+    BSError,
+    BufferedStream,
+    s16le_to_f32,
+)
 from vadc_tpu.io.ffmpeg import FFmpegSource
 
 # Window of chunks processed per refill (reference vadc.c:799: 96 chunks).
@@ -88,14 +94,22 @@ def resolve_weights_path(model_arg: str | None) -> Path:
 
 
 def clamp_sequence_count(family: str, requested: int) -> int:
-    """Model-imposed chunk-size limits (reference vadc.h:85-94, clamp
-    vadc.c:742-754): v3/v4 accept [512, 1536]; v5 is fixed at 512; the v4
-    8 kHz branch uses half-rate chunk sizes."""
+    """Model-imposed chunk-size contract (reference vadc.h:85-94, clamp
+    vadc.c:742-754, README:180-183): v3/v4 chunk sizes are MULTIPLES OF 256
+    in [512, 1536] (the model strides by 256-sample slices) — a request like
+    1000 is rounded to the nearest valid operating point (1024), never run
+    as-is; 8 kHz branch families use half-rate slices (128) and ranges; v5
+    is fixed at 512 (+64 carried context), v5 8 kHz at 256 (+32)."""
     if family == "v5":
         return 512
+    if family == "v5_8k":
+        return 256
     if family == "v4_8k":
-        return max(256, min(768, requested))
-    return max(512, min(1536, requested))
+        slice_samples, lo, hi = 128, 256, 768
+    else:
+        slice_samples, lo, hi = 256, 512, 1536
+    rounded = int(requested / slice_samples + 0.5) * slice_samples
+    return max(lo, min(hi, rounded))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -159,9 +173,34 @@ def _main(argv: list[str] | None = None) -> int:
 
     window_samples = seq * WINDOW_CHUNKS
 
-    def run(stream) -> None:
-        for window, valid in iter_sample_windows(stream, window_samples):
+    def run(stream, eof_error_check=None) -> None:
+        """Main ingest loop over a latched-error BufferedStream (reference
+        vadc.c:852-999): process windows while healthy; the refill that
+        latches an error kind reports it to stderr and ends the loop."""
+        import numpy as np
+
+        bs = BufferedStream(
+            stream,
+            window_samples * BYTES_PER_SAMPLE,
+            eof_error_check=eof_error_check,
+        )
+        while True:
+            data, err = bs.refill()
+            if err != BSError.NoError:
+                # the reference prints the latched kind even for a clean
+                # EndOfFile (vadc.c:911-947); stdout stays data-only
+                print(f"Error: BS_Error_{err.name}", file=sys.stderr)
+                break
+            if len(data) % BYTES_PER_SAMPLE:
+                data = data[:-1]  # drop trailing odd byte
+            samples = s16le_to_f32(data)
+            valid = samples.shape[0]
             stats.add_samples(valid)
+            if valid < window_samples:
+                window = np.zeros(window_samples, np.float32)
+                window[:valid] = samples
+            else:
+                window = samples
             probs = runner.process_window(window)
             # floor(values_read / input_count) probabilities per window,
             # unconditionally — the reference's emit rule (vadc.c:964): the
@@ -180,12 +219,13 @@ def _main(argv: list[str] | None = None) -> int:
             stats.print_line()
 
     if args.filename:
-        with FFmpegSource(
+        source = FFmpegSource(
             args.filename,
             audio_source=args.audio_source,
             start_seconds=args.start_seconds,
-        ) as stream:
-            run(stream)
+        )
+        with source as stream:
+            run(stream, eof_error_check=source.eof_error_kind)
     else:
         run(sys.stdin.buffer)
 

@@ -56,6 +56,24 @@ class FFmpegSource:
         assert self._proc.stdout is not None
         return self._proc.stdout
 
+    def eof_error_kind(self):
+        """Refine the EOF error kind for BufferedStream: a decoder that
+        exited nonzero (codec error, unreadable input, killed mid-file)
+        latches BS_Error_Error instead of a clean EndOfFile — an ffmpeg
+        crash is thereby distinguishable from end of audio (the reference
+        cannot tell these apart; SURVEY §5.3)."""
+        from vadc_tpu.io.pcm import BSError
+
+        if self._proc is None:
+            return None
+        rc = self._proc.poll()
+        if rc is None:
+            try:
+                rc = self._proc.wait(timeout=5.0)
+            except subprocess.TimeoutExpired:
+                return None
+        return BSError.Error if rc != 0 else None
+
     def __exit__(self, *exc) -> None:
         if self._proc is not None:
             if self._proc.stdout:

@@ -9,12 +9,71 @@ same full-buffer refill discipline as the reference's Buffered_Stream
 
 from __future__ import annotations
 
-from typing import BinaryIO, Iterator
+import enum
+from typing import BinaryIO, Callable, Iterator
 
 import numpy as np
 
 SAMPLE_RATE = 16000
 BYTES_PER_SAMPLE = 2
+
+
+class BSError(enum.IntEnum):
+    """Latched stream error kinds (reference BS_Error, vadc.c:404-414)."""
+
+    NoError = 0
+    Error = 1
+    EndOfFile = 2
+    Memory = 3
+    CantOpenFile = 4
+
+
+class BufferedStream:
+    """Pull-based full-window refill with error latching and a deterministic
+    zero drain (reference Buffered_Stream, vadc.c:401-529).
+
+    Each `refill()` returns (window_bytes, error_code). While healthy it
+    reads a full window (short only when data ran out mid-window — that
+    partial window is returned with NoError, exactly like the reference's
+    partial-read path). The refill that finds no data at all latches an
+    error kind — EndOfFile on clean EOF, Error on an OS read failure or a
+    nonzero source exit — and from then on every refill returns an all-zero
+    window with the latched code (refill_zeros, vadc.c:439-448), so any
+    consumer that keeps pulling drains deterministically.
+
+    `eof_error_check` lets a source refine the latched kind at EOF (the
+    ffmpeg source reports Error when the decoder exited nonzero — the case
+    the reference cannot distinguish from clean EOF)."""
+
+    def __init__(
+        self,
+        stream: BinaryIO,
+        window_bytes: int,
+        *,
+        eof_error_check: Callable[[], "BSError | None"] | None = None,
+    ):
+        self._stream = stream
+        self._window_bytes = window_bytes
+        self._eof_error_check = eof_error_check
+        self.error_code = BSError.NoError
+
+    def _fail(self, code: BSError) -> tuple[bytes, BSError]:
+        self.error_code = code
+        return b"\x00" * self._window_bytes, code
+
+    def refill(self) -> tuple[bytes, BSError]:
+        if self.error_code != BSError.NoError:  # latched: zero drain
+            return b"\x00" * self._window_bytes, self.error_code
+        try:
+            data = read_full(self._stream, self._window_bytes)
+        except OSError:
+            return self._fail(BSError.Error)
+        if not data:
+            code = BSError.EndOfFile
+            if self._eof_error_check is not None:
+                code = self._eof_error_check() or BSError.EndOfFile
+            return self._fail(code)
+        return data, BSError.NoError
 
 
 def s16le_to_f32(data: bytes) -> np.ndarray:
