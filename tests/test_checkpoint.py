@@ -101,3 +101,109 @@ def test_batch_segmenter_valid_clamp():
     # host reference on the unpadded stream
     ref = segment_probabilities(probs[0, :8], cfg)
     assert got[0] == ref
+
+
+def _speech_probs():
+    """Probability script producing TWO raw segments whose padded ranges
+    merge: chunks 2-7 speech, 8-11 silence (closes seg 1 -> held pending),
+    12-17 speech, silence to the end (closes seg 2, which merges with the
+    held one at pad/merge time)."""
+    probs = np.zeros(30, np.float32)
+    probs[2:8] = 0.9
+    probs[12:18] = 0.9
+    return probs
+
+
+def test_segmenter_resume_between_close_and_merge():
+    """Stopping AFTER a segment closes (held as the pending merge candidate)
+    and BEFORE the next segment arrives must neither drop nor double-emit
+    the held segment (SURVEY §5.4: the buffered pending segment is part of
+    resumable state; reference vadc.c:831)."""
+    from vadc_tpu.cli.segmenter import Segmenter, SegmenterConfig
+
+    cfg = SegmenterConfig(speech_pad_s=0.3)  # wide pad: the two segments merge
+    probs = _speech_probs()
+
+    ref = Segmenter(cfg)
+    expected = []
+    for p in probs:
+        expected.extend(ref.feed(float(p)))
+    expected.extend(ref.finish())
+    assert len(expected) == 1  # the two raw segments merged into one
+
+    # stop at chunk 11: segment 1 closed at chunk 10 and is now pending
+    first = Segmenter(cfg)
+    got = []
+    for p in probs[:11]:
+        got.extend(first.feed(float(p)))
+    state = first.state_dict()
+    assert state["pending"] is not None, "test must stop with a held segment"
+
+    second = Segmenter(cfg)
+    second.load_state_dict(state)
+    for p in probs[11:]:
+        got.extend(second.feed(float(p)))
+    got.extend(second.finish())
+    assert got == expected
+
+
+def test_segmenter_state_dict_roundtrip_fields():
+    from vadc_tpu.cli.segmenter import Segmenter, SegmenterConfig
+
+    seg = Segmenter(SegmenterConfig())
+    for p in [0.9, 0.9, 0.9, 0.9, 0.1, 0.1]:
+        list(seg.feed(p))
+    d = seg.state_dict()
+    other = Segmenter(SegmenterConfig())
+    other.load_state_dict(d)
+    assert other.state == seg.state
+    assert other.chunk_index == seg.chunk_index
+    assert other._pending == seg._pending
+
+
+@pytest.mark.parametrize("backend", ["device", "native"])
+def test_batch_segmenter_checkpoint_mid_stream(backend):
+    """BatchSegmenter: accumulated raw segments and FSM state survive a
+    save/restore; resumed output equals the uninterrupted run, including a
+    segment closed before the stop that merges with one closed after."""
+    from vadc_tpu import native
+    from vadc_tpu.cli.segmenter import SegmenterConfig
+    from vadc_tpu.engine.vectorized_segmenter import BatchSegmenter
+    from vadc_tpu.engine.checkpoint import EngineCheckpoint
+    from vadc_tpu.engine.runner import init_stream_state
+
+    if backend == "native" and not native.available():
+        pytest.skip("native library not built")
+
+    cfg = SegmenterConfig(speech_pad_s=0.3)
+    probs = np.stack([_speech_probs(), _speech_probs()[::-1].copy()])
+
+    ref = BatchSegmenter(cfg, 2, backend=backend)
+    ref.feed(probs)
+    expected = ref.finish()
+
+    first = BatchSegmenter(cfg, 2, backend=backend)
+    first.feed(probs[:, :11])
+    assert any(first._raw), "test must stop with an accumulated raw segment"
+    ckpt = EngineCheckpoint.capture("v3", init_stream_state("v3", 2), first)
+    restored = EngineCheckpoint.from_bytes(ckpt.to_bytes())
+
+    second = BatchSegmenter(cfg, 2, backend=backend)
+    restored.restore_segmenter(second)
+    second.feed(probs[:, 11:])
+    assert second.finish() == expected
+
+
+def test_pending_segments_roundtrip():
+    from vadc_tpu.engine.checkpoint import EngineCheckpoint
+    from vadc_tpu.engine.runner import init_stream_state
+
+    ckpt = EngineCheckpoint(
+        "v3",
+        init_stream_state("v3", 3),
+        pending=[None, (5, 9), (0, 2)],
+        chunk_indices=np.asarray([7, 9, 11], np.int32),
+    )
+    back = EngineCheckpoint.from_bytes(ckpt.to_bytes())
+    assert back.pending == [None, (5, 9), (0, 2)]
+    np.testing.assert_array_equal(back.chunk_indices, [7, 9, 11])

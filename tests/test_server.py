@@ -122,3 +122,73 @@ def test_slot_reuse_and_overflow(server, audio):
     c3.close()
     for h in hold:
         h.close()
+
+def test_server_checkpoint_resume(testdata):
+    """Drain → save → restart → bit-identical continuation, including a
+    segment that closed before the save and is held as the pending merge
+    candidate (SURVEY §5.4; VERDICT r1 weak #5)."""
+    import time
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from vadc_tpu.server import VadServer
+
+    sil = (np.random.default_rng(1).normal(size=24000) * 0.001).astype(np.float32)
+    burst = _speechlike(2.0)
+    full = np.concatenate([sil[:16000], burst, sil, burst, sil[:16000]])
+    pcm = f32_to_s16le(full)
+    chunk_bytes = 1536 * 2
+    # split mid-silence AFTER segment 1 closed, on a chunk boundary
+    cut = (len(pcm) // 2 // chunk_bytes) * chunk_bytes
+    part1, part2 = pcm[:cut], pcm[cut:]
+
+    def start_server():
+        srv = VadServer(
+            port=0, max_streams=1,
+            model=str(testdata / "silero_v31_16k.testtensor"),
+        )
+        sock = socket.create_server(("127.0.0.1", 0))
+        srv.pool.start()
+        threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
+        threading.Thread(target=srv._engine_loop, daemon=True).start()
+        return srv, sock, sock.getsockname()[1]
+
+    # reference: uninterrupted run
+    srv_ref, sock_ref, port_ref = start_server()
+    expected = _run_client(port_ref, pcm)
+    srv_ref._stop.set()
+    sock_ref.close()
+    assert len(expected) == 2, expected
+
+    # part 1: keep the connection open, wait for drain + held pending
+    srv1, sock1, port1 = start_server()
+    a = socket.create_connection(("127.0.0.1", port1))
+    a.sendall(part1)
+    n_chunks_part1 = cut // chunk_bytes
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        s = srv1.slots[0]
+        if (
+            int(srv1.fsm.chunk_index[0]) >= n_chunks_part1
+            and s is not None
+            and s.pending is not None
+        ):
+            break
+        time.sleep(0.02)
+    assert srv1.slots[0] is not None and srv1.slots[0].pending is not None, (
+        "segment 1 must be closed and held pending at the save point"
+    )
+    import tempfile, os
+    ckpt_path = os.path.join(tempfile.mkdtemp(), "server.ckpt")
+    srv1.save_checkpoint(ckpt_path)
+    srv1._stop.set()
+    a.close()
+    sock1.close()
+
+    # restart + restore: the reconnecting client continues the stream
+    srv2, sock2, port2 = start_server()
+    srv2.restore_checkpoint(ckpt_path)
+    got = _run_client(port2, part2)
+    srv2._stop.set()
+    sock2.close()
+    assert got == expected

@@ -154,6 +154,33 @@ class Segmenter:
         end = seg.end_chunk * cfg.seconds_per_chunk + cfg.speech_pad_s
         return (start, end)
 
+    # -- resumable state (SURVEY §5.4: FSM fields + chunk index + the
+    #    buffered pending segment, vadc.h:110-115 / vadc.c:829-831) --------
+
+    def state_dict(self) -> dict:
+        """Complete resumable state. Captures the held merge candidate, so a
+        stop/resume BETWEEN a segment close and its pad/merge emits exactly
+        what an uninterrupted run would."""
+        return {
+            "triggered": self.state.triggered,
+            "current_speech_start": self.state.current_speech_start,
+            "temp_end": self.state.temp_end,
+            "chunk_index": self.chunk_index,
+            "pending": None
+            if self._pending is None
+            else (self._pending.start_chunk, self._pending.end_chunk),
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.state = FeedState(
+            triggered=bool(d["triggered"]),
+            current_speech_start=int(d["current_speech_start"]),
+            temp_end=int(d["temp_end"]),
+        )
+        self.chunk_index = int(d["chunk_index"])
+        p = d.get("pending")
+        self._pending = None if p is None else Segment(int(p[0]), int(p[1]))
+
 
 def segment_probabilities(
     probabilities: Iterable[float], config: SegmenterConfig

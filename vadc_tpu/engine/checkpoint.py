@@ -1,9 +1,14 @@
 """Checkpoint / resume of streaming inference state.
 
 The reference has no checkpointing; its resumable state is implicit in
-process memory (LSTM h/c, v5 audio context, segmentation FSM, chunk index —
-SURVEY.md §5.4). Here that state is an explicit, serializable struct so a
-multi-stream engine can stop and resume streams across processes/hosts.
+process memory. SURVEY §5.4 inventories it exactly: LSTM h/c, the v5
+64-sample audio context, the segmentation FSM fields {triggered,
+current_speech_start, temp_end} (vadc.h:110-115), the **buffered pending
+segment** (vadc.c:831), and the global chunk index (vadc.c:829). Here that
+state is an explicit, serializable struct so a multi-stream engine can stop
+and resume streams across processes/hosts — including a stop BETWEEN a
+segment close and its pad/merge, which must neither drop nor double-emit
+the held segment.
 
 Serialization reuses the .testtensor container (the framework's one binary
 format), with integer state stored as float32 (all values are small counters
@@ -19,17 +24,26 @@ import jax.numpy as jnp
 
 from vadc_tpu.io.testtensor import load_testtensor_bytes, save_testtensor_bytes
 from vadc_tpu.engine.runner import StreamState
-from vadc_tpu.engine.vectorized_segmenter import FsmState
+from vadc_tpu.engine.vectorized_segmenter import BatchSegmenter, FsmState
 
 
 @dataclass
 class EngineCheckpoint:
-    """Complete resumable state of a batch of streams."""
+    """Complete resumable state of a batch of streams.
+
+    raw_segments: per-stream closed segments awaiting pad/merge at finish
+    (BatchSegmenter accumulation — the batched analogue of the reference's
+    buffered segment). pending: per-stream held merge candidate (the host
+    Segmenter / server slot `pending`, vadc.c:831). chunk_indices: per-stream
+    chunk counters when streams advance independently (native FSM)."""
 
     family: str
     model_state: StreamState
     fsm_state: FsmState | None = None
     chunk_index: int = 0
+    raw_segments: list[list[tuple[int, int]]] | None = None
+    pending: list[tuple[int, int] | None] | None = None
+    chunk_indices: np.ndarray | None = None
 
     def to_bytes(self) -> bytes:
         tensors: dict[str, np.ndarray] = {
@@ -49,6 +63,24 @@ class EngineCheckpoint:
                 self.fsm_state.speech_start, np.float32
             )
             tensors["fsm.temp_end"] = np.asarray(self.fsm_state.temp_end, np.float32)
+        if self.chunk_indices is not None:
+            tensors["fsm.chunk_indices"] = np.asarray(self.chunk_indices, np.float32)
+        if self.raw_segments is not None:
+            rows = [
+                (i, s, e)
+                for i, segs in enumerate(self.raw_segments)
+                for (s, e) in segs
+            ]
+            tensors["seg.raw"] = np.asarray(rows, np.float32).reshape(-1, 3)
+            tensors["seg.n_streams"] = np.asarray(
+                [len(self.raw_segments)], np.float32
+            )
+        if self.pending is not None:
+            rows = [
+                (0.0, 0.0, 0.0) if p is None else (1.0, p[0], p[1])
+                for p in self.pending
+            ]
+            tensors["seg.pending"] = np.asarray(rows, np.float32).reshape(-1, 3)
         return save_testtensor_bytes(tensors)
 
     @classmethod
@@ -69,12 +101,95 @@ class EngineCheckpoint:
                 temp_end=jnp.asarray(t["fsm.temp_end"].astype(np.int32)),
                 chunk_index=jnp.int32(int(t["meta.chunk_index"][0])),
             )
+        chunk_indices = (
+            t["fsm.chunk_indices"].astype(np.int32)
+            if "fsm.chunk_indices" in t
+            else None
+        )
+        raw_segments = None
+        if "seg.raw" in t:
+            n = int(t["seg.n_streams"][0])
+            raw_segments = [[] for _ in range(n)]
+            for i, s, e in t["seg.raw"].reshape(-1, 3):
+                raw_segments[int(i)].append((int(s), int(e)))
+        pending = None
+        if "seg.pending" in t:
+            pending = [
+                (int(s), int(e)) if has else None
+                for has, s, e in t["seg.pending"].reshape(-1, 3)
+            ]
         return cls(
             family=family,
             model_state=model_state,
             fsm_state=fsm,
             chunk_index=int(t["meta.chunk_index"][0]),
+            raw_segments=raw_segments,
+            pending=pending,
+            chunk_indices=chunk_indices,
         )
+
+    # -- BatchSegmenter capture/restore ----------------------------------
+
+    @classmethod
+    def capture(
+        cls,
+        family: str,
+        model_state: StreamState,
+        segmenter: BatchSegmenter,
+        *,
+        pending: list[tuple[int, int] | None] | None = None,
+    ) -> "EngineCheckpoint":
+        """Snapshot engine + segmentation state, INCLUDING the accumulated
+        raw segments awaiting pad/merge (and per-slot pending segments when
+        the caller holds them, e.g. the serving daemon)."""
+        if segmenter._native is not None:
+            n = segmenter._native
+            fsm = FsmState(
+                triggered=jnp.asarray(n.triggered.astype(bool)),
+                speech_start=jnp.asarray(n.speech_start.astype(np.int32)),
+                temp_end=jnp.asarray(n.temp_end.astype(np.int32)),
+                chunk_index=jnp.int32(int(n.chunk_index.max(initial=0))),
+            )
+            chunk_indices = n.chunk_index.astype(np.int32).copy()
+            chunk_index = int(chunk_indices.max(initial=0))
+        else:
+            fsm = segmenter.state
+            chunk_index = int(fsm.chunk_index)
+            chunk_indices = None
+        return cls(
+            family=family,
+            model_state=model_state,
+            fsm_state=fsm,
+            chunk_index=chunk_index,
+            raw_segments=[list(r) for r in segmenter._raw],
+            pending=pending,
+            chunk_indices=chunk_indices,
+        )
+
+    def restore_segmenter(self, segmenter: BatchSegmenter) -> None:
+        """Load FSM fields and accumulated raw segments into a fresh
+        BatchSegmenter (native or device backend)."""
+        if self.fsm_state is None:
+            raise ValueError("checkpoint has no segmentation state")
+        fsm = self.fsm_state
+        if segmenter._native is not None:
+            n = segmenter._native
+            n.triggered[:] = np.asarray(fsm.triggered).astype(n.triggered.dtype)
+            n.speech_start[:] = np.asarray(fsm.speech_start)
+            n.temp_end[:] = np.asarray(fsm.temp_end)
+            if self.chunk_indices is not None:
+                n.chunk_index[:] = self.chunk_indices
+            else:
+                n.chunk_index[:] = self.chunk_index
+        else:
+            segmenter.state = FsmState(
+                triggered=jnp.asarray(np.asarray(fsm.triggered).astype(bool)),
+                speech_start=jnp.asarray(np.asarray(fsm.speech_start), jnp.int32),
+                temp_end=jnp.asarray(np.asarray(fsm.temp_end), jnp.int32),
+                chunk_index=jnp.int32(self.chunk_index),
+            )
+        if self.raw_segments is not None:
+            segmenter._raw = [list(r) for r in self.raw_segments]
 
     def save(self, path: str | Path) -> None:
         Path(path).write_bytes(self.to_bytes())

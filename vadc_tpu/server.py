@@ -82,6 +82,10 @@ class VadServer:
         self._free = list(range(self.n))
         self._lock = threading.Lock()
         self._reset_requests: list[int] = []
+        # slots restored from a checkpoint: the next client accepted on such
+        # a slot continues the saved stream (no state reset; inherits the
+        # held pending segment) instead of starting fresh
+        self._resume_slots: dict[int, tuple[int, int] | None] = {}
         self.host, self.port = host, port
         self._stop = threading.Event()
 
@@ -145,7 +149,12 @@ class VadServer:
                     continue
                 slot = self._free.pop()
                 self.slots[slot] = _Slot(conn)
-                self._reset_requests.append(slot)
+                if slot in self._resume_slots:
+                    # checkpoint continuation: keep LSTM/FSM state, re-attach
+                    # the held pending segment, skip the reset
+                    self.slots[slot].pending = self._resume_slots.pop(slot)
+                else:
+                    self._reset_requests.append(slot)
             self.pool.add_fd(slot, conn.fileno())
 
     def _emit(self, slot: int, start_c: int, end_c: int, *, flush: bool = False) -> None:
@@ -215,6 +224,70 @@ class VadServer:
             self.slots[slot] = None
             self._free.append(slot)
 
+    # ---- checkpoint / resume ----------------------------------------------
+
+    def save_checkpoint(self, path) -> None:
+        """Snapshot the complete per-slot resumable state (SURVEY §5.4):
+        LSTM h/c (+ v5 context), FSM fields, per-slot chunk counters, and
+        each slot's held pending segment. Client sockets do not survive a
+        restart; `restore_checkpoint` marks saved slots for continuation so
+        reconnecting clients resume their streams bit-identically."""
+        import jax.numpy as jnp
+        from vadc_tpu.engine.checkpoint import EngineCheckpoint
+        from vadc_tpu.engine.vectorized_segmenter import FsmState
+
+        fsm = self.fsm
+        with self._lock:
+            pending = [
+                None if s is None else s.pending for s in self.slots
+            ]
+        EngineCheckpoint(
+            family=self.family,
+            model_state=self.state,
+            fsm_state=FsmState(
+                triggered=jnp.asarray(fsm.triggered.astype(bool)),
+                speech_start=jnp.asarray(fsm.speech_start.astype(np.int32)),
+                temp_end=jnp.asarray(fsm.temp_end.astype(np.int32)),
+                chunk_index=jnp.int32(int(fsm.chunk_index.max(initial=0))),
+            ),
+            chunk_index=int(fsm.chunk_index.max(initial=0)),
+            pending=pending,
+            chunk_indices=fsm.chunk_index.astype(np.int32).copy(),
+        ).save(path)
+
+    def restore_checkpoint(self, path) -> None:
+        """Load a snapshot into a fresh server: device state, FSM arrays,
+        and per-slot continuation markers. Call before serve_forever()."""
+        from vadc_tpu.engine.checkpoint import EngineCheckpoint
+
+        ckpt = EngineCheckpoint.load(path)
+        if ckpt.family != self.family:
+            raise ValueError(
+                f"checkpoint family {ckpt.family!r} != server {self.family!r}"
+            )
+        self.state = ckpt.model_state
+        fsm = self.fsm
+        fsm.triggered[:] = np.asarray(ckpt.fsm_state.triggered).astype(
+            fsm.triggered.dtype
+        )
+        fsm.speech_start[:] = np.asarray(ckpt.fsm_state.speech_start)
+        fsm.temp_end[:] = np.asarray(ckpt.fsm_state.temp_end)
+        fsm.chunk_index[:] = (
+            ckpt.chunk_indices
+            if ckpt.chunk_indices is not None
+            else ckpt.chunk_index
+        )
+        pending = ckpt.pending or [None] * self.n
+        with self._lock:
+            for slot in range(self.n):
+                had_state = (
+                    pending[slot] is not None
+                    or fsm.chunk_index[slot] > 0
+                    or fsm.triggered[slot]
+                )
+                if had_state:
+                    self._resume_slots[slot] = pending[slot]
+
     # ---- engine loop ------------------------------------------------------
 
     def _engine_loop(self) -> None:
@@ -276,15 +349,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--model", default=None)
     p.add_argument("--fast", action="store_true")
     p.add_argument("--sequence_count", type=int, default=1536)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="restore a server checkpoint; saved slots continue "
+                        "their streams when clients reconnect")
     args = p.parse_args(argv)
-    VadServer(
+    server = VadServer(
         args.host,
         args.port,
         max_streams=args.max_streams,
         model=args.model,
         fast=args.fast,
         sequence_count=args.sequence_count,
-    ).serve_forever()
+    )
+    if args.resume:
+        server.restore_checkpoint(args.resume)
+    server.serve_forever()
     return 0
 
 
