@@ -130,11 +130,12 @@ def silero_v4_forward(params, audio, h, c):
     return probs.numpy(), hn.numpy(), cn.numpy()
 
 
-def silero_v5_forward(params, audio, h, c):
+def silero_v5_forward(params, audio, h, c, pad_right=64, hop=128):
     """Full v5 forward: audio [B, 576] (64 context + 512 window), right-only
     reflect pad 64, hop 128, 4 reparam k3 convs (strides 1,2,2,1), 1-layer
-    LSTM hidden 128, 1-logit decoder. Returns (probs, hn, cn) as numpy."""
-    spect = stft_magnitude(audio, params["stft_basis"], 0, 64, 128)
+    LSTM hidden 128, 1-logit decoder. The 8 kHz branch passes pad_right=32,
+    hop=64 (half-rate STFT geometry). Returns (probs, hn, cn) as numpy."""
+    spect = stft_magnitude(audio, params["stft_basis"], 0, pad_right, hop)
     x = spect
     for p, stride in zip(params["encoder"], (1, 2, 2, 1)):
         x = tf.conv1d(x, t(p["w"]), t(p["b"]), stride=stride, padding=1).relu()

@@ -45,10 +45,11 @@ def speech_probabilities(
 ) -> np.ndarray:
     """Per-chunk speech probabilities for 16 kHz mono float32 samples."""
     import jax.numpy as jnp
-    from vadc_tpu.models import silero_v5
 
     runner, seq = _get_runner(model, sequence_count)
-    window = seq if runner.family != "v5" else silero_v5.WINDOW_SAMPLES
+    # v5 families scan fixed windows (512 @ 16 kHz / 256 @ 8 kHz); the
+    # carried context is attached inside the runner
+    window = getattr(runner.module, "WINDOW_SAMPLES", seq)
     samples = np.asarray(samples, np.float32).ravel()
     n_chunks = -(-len(samples) // window)
     if n_chunks == 0:
@@ -73,12 +74,12 @@ def detect_speech_samples(
 ) -> list[tuple[float, float]]:
     """Speech segments (start_s, end_s) for 16 kHz mono float32 samples."""
     runner, seq = _get_runner(model, sequence_count)
-    from vadc_tpu.models import silero_v5
 
-    window = seq if runner.family != "v5" else silero_v5.WINDOW_SAMPLES
+    window = getattr(runner.module, "WINDOW_SAMPLES", seq)
     probs = speech_probabilities(samples, model=model, sequence_count=sequence_count)
     config = SegmenterConfig.from_ms(
         chunk_samples=window,
+        sample_rate=getattr(runner.module, "SAMPLE_RATE", 16000),
         min_silence_ms=min_silence_ms,
         min_speech_ms=min_speech_ms,
         threshold=threshold,

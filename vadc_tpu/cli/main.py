@@ -148,9 +148,11 @@ def _main(argv: list[str] | None = None) -> int:
     runner = MinibatchRunner(
         family, params, batch_size=int(args.batch), chunk_samples=seq
     )
+    # 8 kHz branch families time chunks (and decode input) at their own rate
+    model_sr = getattr(runner.module, "SAMPLE_RATE", SAMPLE_RATE)
     seg_config = SegmenterConfig.from_ms(
         chunk_samples=seq,
-        sample_rate=SAMPLE_RATE,
+        sample_rate=model_sr,
         min_silence_ms=args.min_silence,
         min_speech_ms=args.min_speech,
         threshold=args.threshold,
@@ -158,7 +160,7 @@ def _main(argv: list[str] | None = None) -> int:
         speech_pad_ms=args.speech_pad,
     )
     segmenter = Segmenter(seg_config)
-    stats = Stats(output_enabled=args.stats, sample_rate=SAMPLE_RATE)
+    stats = Stats(output_enabled=args.stats, sample_rate=model_sr)
     fmt = (
         format_segment_centiseconds
         if args.output_centi_seconds
@@ -223,6 +225,7 @@ def _main(argv: list[str] | None = None) -> int:
             args.filename,
             audio_source=args.audio_source,
             start_seconds=args.start_seconds,
+            sample_rate=model_sr,
         )
         with source as stream:
             run(stream, eof_error_check=source.eof_error_kind)

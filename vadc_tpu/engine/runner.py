@@ -31,6 +31,7 @@ _FAMILIES = {
     "v4": silero_v4,
     "v4_8k": silero_v4.v4_8k,
     "v5": silero_v5,
+    "v5_8k": silero_v5.v5_8k,
 }
 
 
@@ -66,7 +67,8 @@ class StreamState:
 def init_stream_state(family: str, n_streams: int) -> StreamState:
     mod = get_family_module(family)
     h, c = mod.init_state(n_streams)
-    ctx = silero_v5.init_context(n_streams) if family == "v5" else None
+    # v5 families carry a raw-audio context tail between chunks
+    ctx = mod.init_context(n_streams) if hasattr(mod, "init_context") else None
     return StreamState(h, c, ctx)
 
 
@@ -139,10 +141,10 @@ class _PallasForward:
 
 
 def _step(module, family: str, params: dict, chunks: jax.Array, state: StreamState):
-    if family == "v5":
-        inp, new_ctx = silero_v5.attach_context(chunks, state.context)
+    if state.context is not None:
+        inp, new_ctx = module.attach_context(chunks, state.context)
     else:
-        inp, new_ctx = chunks, state.context
+        inp, new_ctx = chunks, None
     probs, hn, cn = module.forward(params, inp, state.h, state.c)
     return probs, StreamState(hn, cn, new_ctx)
 
@@ -168,19 +170,21 @@ class MinibatchRunner:
         self.chunk_samples = chunk_samples
         mod = self.module
         self.h, self.c = mod.init_state(1)
-        self.context = silero_v5.init_context(1) if family == "v5" else None
+        self.context = mod.init_context(1) if hasattr(mod, "init_context") else None
         # h/c/context are donated (rotated in place on device, vadc.c:83-84)
         self._fwd = jax.jit(self._forward, donate_argnums=(2, 3, 4))
 
     def _forward(self, params, chunks, h, c, context):
-        if self.family == "v5":
-            # Per-chunk 64-sample prefix: chunk i gets the tail of chunk i-1;
-            # chunk 0 gets the carried context (process_chunks_v5, vadc.c:105-162).
+        if context is not None:
+            # Per-chunk context prefix: chunk i gets the tail of chunk i-1;
+            # chunk 0 gets the carried context (process_chunks_v5,
+            # vadc.c:105-162). 64 samples at 16 kHz, 32 at 8 kHz.
+            ctx_samples = self.module.CONTEXT_SAMPLES
             prev_tails = jnp.concatenate(
-                [context, chunks[:-1, -silero_v5.CONTEXT_SAMPLES :]], axis=0
+                [context, chunks[:-1, -ctx_samples:]], axis=0
             )
             inp = jnp.concatenate([prev_tails, chunks], axis=-1)
-            new_context = chunks[-1:, -silero_v5.CONTEXT_SAMPLES :]
+            new_context = chunks[-1:, -ctx_samples:]
             probs, hn, cn = self.module.forward_minibatched(params, inp, h, c)
             return probs, hn, cn, new_context
         probs, hn, cn = self.module.forward_minibatched(params, chunks, h, c)

@@ -17,7 +17,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vadc_tpu.engine.runner import StreamState, get_family_module, _step, _scan
-from vadc_tpu.models import silero_v5
 
 STREAM_AXIS = "streams"
 
@@ -60,8 +59,9 @@ class ShardedStreamRunner:
 
         batch0 = NamedSharding(mesh, P(STREAM_AXIS))  # leading batch dim
         batch1 = NamedSharding(mesh, P(None, STREAM_AXIS))  # h/c: [L, B, H]
+        has_context = hasattr(self.module, "init_context")
         state_shardings = StreamState(
-            batch1, batch1, batch0 if family == "v5" else None
+            batch1, batch1, batch0 if has_context else None
         )
         self._step = jax.jit(
             step_fn,
@@ -85,7 +85,11 @@ class ShardedStreamRunner:
         )
         mod = self.module
         h, c = mod.init_state(n_streams)
-        ctx = silero_v5.init_context(n_streams) if self.family == "v5" else None
+        ctx = (
+            mod.init_context(n_streams)
+            if hasattr(mod, "init_context")
+            else None
+        )
         return jax.device_put(StreamState(h, c, ctx), self._state_shardings)
 
     def step(self, chunks, state):

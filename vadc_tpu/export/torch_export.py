@@ -145,7 +145,9 @@ def v31_archive_from_state_dict(sd: Mapping) -> dict[str, np.ndarray]:
     return archive
 
 
-def v5_archive_from_state_dict(sd: Mapping) -> dict[str, np.ndarray]:
+def v5_archive_from_state_dict(
+    sd: Mapping, sample_rate: int = 16000
+) -> dict[str, np.ndarray]:
     """Build the v5 weight archive from the upstream jit module's state dict.
 
     Key layout per the upstream v5 jit module (reference
@@ -153,16 +155,21 @@ def v5_archive_from_state_dict(sd: Mapping) -> dict[str, np.ndarray]:
     `stft.forward_basis_buffer`, `encoder.{0..3}.reparam_conv.{weight,bias}`,
     `decoder.rnn.{weight_ih,weight_hh,bias_ih,bias_hh}[_l0]`, and
     `decoder.decoder.2.{weight,bias}`). Accepts keys with or without a
-    `_model.` prefix and with or without the `_l0` LSTM suffix."""
+    submodule prefix (`_model.` for the 16 kHz branch, `_model_8k.` for the
+    8 kHz branch of the combined upstream module) and with or without the
+    `_l0` LSTM suffix. The archive records meta.sample_rate so family
+    detection picks the right half-rate geometry."""
+    prefix = "_model." if sample_rate == 16000 else "_model_8k."
 
     def get(key: str) -> np.ndarray:
-        for candidate in (key, f"_model.{key}"):
+        for candidate in (f"{prefix}{key}", key):
             if candidate in sd:
                 return _to_numpy(sd[candidate])
-        raise KeyError(f"missing weight tensor {key!r}")
+        raise KeyError(f"missing weight tensor {prefix}{key}")
 
     archive: dict[str, np.ndarray] = {
-        "forward_basis_buffer": get("stft.forward_basis_buffer")
+        "forward_basis_buffer": get("stft.forward_basis_buffer"),
+        "meta.sample_rate": np.asarray([sample_rate], np.float32),
     }
     for i in range(4):
         archive[f"enc{i + 1}.weight"] = get(f"encoder.{i}.reparam_conv.weight")
@@ -198,8 +205,13 @@ def export_v31(checkpoint_path: str | Path, out_path: str | Path) -> None:
     save_testtensor(out_path, v31_archive_from_state_dict(sd))
 
 
-def export_v5(checkpoint_path: str | Path, out_path: str | Path) -> None:
-    """Upstream v5 jit archive (or a plain state_dict save) -> archive."""
+def export_v5(
+    checkpoint_path: str | Path,
+    out_path: str | Path,
+    sample_rate: int = 16000,
+) -> None:
+    """Upstream v5 jit archive (or a plain state_dict save) -> archive.
+    sample_rate=8000 extracts the `_model_8k` branch."""
     import torch
 
     path = Path(checkpoint_path)
@@ -207,4 +219,4 @@ def export_v5(checkpoint_path: str | Path, out_path: str | Path) -> None:
         sd = torch.load(path, weights_only=True, map_location="cpu")
     except Exception:
         sd = torch.jit.load(str(path), map_location="cpu").state_dict()
-    save_testtensor(out_path, v5_archive_from_state_dict(sd))
+    save_testtensor(out_path, v5_archive_from_state_dict(sd, sample_rate))

@@ -65,11 +65,18 @@ def init_context(n_streams: int) -> jax.Array:
     return jnp.zeros((n_streams, CONTEXT_SAMPLES), jnp.float32)
 
 
-def encode(params: dict, audio: jax.Array) -> jax.Array:
+def encode(
+    params: dict,
+    audio: jax.Array,
+    *,
+    pad_right: int = STFT_PAD_RIGHT,
+    hop: int = STFT_HOP,
+) -> jax.Array:
     """audio [B, 576] (context + window) -> features [B, frames, 128]
-    (channels-last throughout)."""
+    (channels-last throughout). The 8 kHz branch uses half-rate STFT
+    geometry (pad 32, hop 64, n_fft 128)."""
     x = F.stft_magnitude_nlc(
-        audio, params["stft_basis"], pad_left=0, pad_right=STFT_PAD_RIGHT, hop=STFT_HOP
+        audio, params["stft_basis"], pad_left=0, pad_right=pad_right, hop=hop
     )
     for p, stride in zip(params["encoder"], ENCODER_STRIDES):
         x = jax.nn.relu(F.conv1d_nlc(x, p["w"], p["b"], stride=stride, padding=1))
@@ -95,11 +102,60 @@ def forward_minibatched(
 
 
 def attach_context(chunks: jax.Array, context: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Prefix each chunk with the previous chunk's 64-sample tail.
+    """Prefix each chunk with the previous chunk's carried tail.
 
-    chunks: [B, 512] new audio per stream; context: [B, 64] carried tail.
-    Returns (model input [B, 576], new context [B, 64]). Reference:
-    process_chunks_v5 (vadc.c:105-162), chunks_v5_from_raw_int16 (utils.py:277-283).
+    chunks: [B, window] new audio per stream; context: [B, ctx] carried tail
+    (64 samples at 16 kHz, 32 at 8 kHz). Returns (model input
+    [B, ctx+window], new context). Reference: process_chunks_v5
+    (vadc.c:105-162), chunks_v5_from_raw_int16 (utils.py:277-283).
     """
     inp = jnp.concatenate([context, chunks], axis=-1)
-    return inp, chunks[:, -CONTEXT_SAMPLES:]
+    return inp, chunks[:, -context.shape[-1] :]
+
+
+class _V58k:
+    """Module shim for the 8 kHz branch of the official v5 model
+    (`_model_8k`): same 4-reparam-conv + LSTM-128 architecture at half-rate
+    STFT geometry — 256-sample chunks with a 32-sample carried context,
+    n_fft 128 (65 frequency bins), hop 64, right-only reflect pad 32. The
+    reference reaches this branch only through ORT's sr input
+    (onnx_helpers.c:314-357); here it is a first-class family."""
+
+    SAMPLE_RATE = 8000
+    CONTEXT_SAMPLES = 32
+    WINDOW_SAMPLES = 256
+    NUM_LSTM_LAYERS = NUM_LSTM_LAYERS
+    HIDDEN = HIDDEN
+    STFT_PAD_RIGHT = 32
+    STFT_HOP = 64
+
+    init_state = staticmethod(init_state)
+    silero_v5_params = staticmethod(silero_v5_params)
+    attach_context = staticmethod(attach_context)
+
+    @staticmethod
+    def init_context(n_streams: int) -> jax.Array:
+        return jnp.zeros((n_streams, _V58k.CONTEXT_SAMPLES), jnp.float32)
+
+    @staticmethod
+    def encode(params, audio):
+        return encode(
+            params, audio, pad_right=_V58k.STFT_PAD_RIGHT, hop=_V58k.STFT_HOP
+        )
+
+    @staticmethod
+    def forward(params, audio, h, c):
+        feats = _V58k.encode(params, audio)
+        out, hn, cn = F.lstm(feats, h, c, params["lstm_w"], params["lstm_b"])
+        return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
+
+    @staticmethod
+    def forward_minibatched(params, audio, h, c):
+        feats = _V58k.encode(params, audio)
+        out, hn, cn = F.lstm_minibatched(
+            feats, h, c, params["lstm_w"], params["lstm_b"]
+        )
+        return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"]), hn, cn
+
+
+v5_8k = _V58k()

@@ -116,10 +116,18 @@ def detect_model_family(tensors: dict[str, np.ndarray]) -> str:
         if sr is not None and int(sr[0]) == 8000:
             return "v4_8k"
         return "v4"
-    if "enc1.weight" in tensors:
-        return "v5"
-    if "weights" in tensors and tensors["weights"].shape[-1] == 256:
-        # fused [L, 4H, 2H]: 2H=256 => hidden 128 => v5 (v3/v4 have 2H=128)
+    if "enc1.weight" in tensors or (
+        "weights" in tensors and tensors["weights"].shape[-1] == 256
+    ):
+        # fused [L, 4H, 2H]: 2H=256 => hidden 128 => v5 (v3/v4 have 2H=128).
+        # The 8 kHz branch has a half-rate STFT basis (n_fft 128 -> 130 rows
+        # vs 258 at 16 kHz); meta.sample_rate wins when recorded.
+        sr = tensors.get("meta.sample_rate")
+        if sr is not None and int(np.asarray(sr).ravel()[0]) == 8000:
+            return "v5_8k"
+        basis = tensors.get("forward_basis_buffer")
+        if basis is not None and basis.shape[0] == 130:
+            return "v5_8k"
         return "v5"
     raise ValueError("unrecognized weight archive layout")
 
@@ -129,7 +137,7 @@ def load_params_from_tensors(tensors: dict[str, np.ndarray]) -> tuple[str, dict]
     family = detect_model_family(tensors)
     if family == "v3":
         return family, silero_v31_params(tensors)
-    if family == "v5":
+    if family in ("v5", "v5_8k"):
         from vadc_tpu.models.silero_v5 import silero_v5_params
 
         return family, silero_v5_params(tensors)
@@ -149,12 +157,20 @@ def load_params(path: str | Path) -> tuple[str, dict]:
     fused models and plain v3 graphs are auto-distinguished)."""
     path = Path(path)
     if path.suffix.lower() == ".onnx":
+        from vadc_tpu.export.onnx_extract import extract_initializers
         from vadc_tpu.export.silero_v3_from_onnx import extract_silero_v3
         from vadc_tpu.export.silero_v4_from_onnx import extract_silero_v4
+        from vadc_tpu.export.silero_v5_from_onnx import (
+            extract_silero_v5,
+            looks_like_v5,
+        )
 
-        try:
-            tensors = extract_silero_v4(path)
-        except (StopIteration, AssertionError, KeyError, IndexError):
-            tensors = extract_silero_v3(path)
+        if looks_like_v5(extract_initializers(path)):
+            tensors = extract_silero_v5(path)
+        else:
+            try:
+                tensors = extract_silero_v4(path)
+            except (StopIteration, AssertionError, KeyError, IndexError):
+                tensors = extract_silero_v3(path)
         return load_params_from_tensors(tensors)
     return load_params_from_tensors(load_testtensor(path))
