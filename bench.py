@@ -1,20 +1,26 @@
-"""Benchmark: concurrent realtime 16 kHz streams per TPU chip.
+"""Benchmark: the full BASELINE.md matrix on one TPU chip.
 
-Measures sustained streaming throughput of the flagship Silero v3.1 forward:
-B independent streams x T consecutive 1536-sample (96 ms) chunks, executed
-as ONE jitted lax.scan with LSTM state in the carry — the serving engine's
-exact execution shape. Audio is generated on-device; completion is forced by
-host materialization (through remote-device tunnels block_until_ready can
-return early, so np.asarray is the only reliable barrier — the measurement
-therefore includes one device->host round trip amortized over T steps).
+Configs (BASELINE.json): v3.1 faithful / fast / pallas throughput + step
+latency percentiles, single-stream RTF, v4 16k / v4 8k / v5 / v5 8k
+throughput, a 512-stream offline batch pass (model + segmentation), and the
+serving-tick latency. The headline JSON metric stays the round-1 contract
+(concurrent realtime 16 kHz streams per chip, best v3 mode); every other
+config rides in the "configs" field.
 
-Two modes are measured:
-  * faithful — full-fp32 matmuls (the golden-fidelity contract)
-  * fast     — bf16 matmuls with fp32 accumulation; probability deviation
-               vs faithful is measured and printed (typically ~5e-3)
-
-The JSON line reports the best mode. vs_baseline = value / 1000 (BASELINE.md
-target: >= 1000 streams/chip).
+Measurement notes (see docs/PERFORMANCE.md):
+  * Through the remote-device tunnel, block_until_ready returns early; host
+    materialization (np.asarray) is the only reliable barrier, and each
+    materialization costs a ~25-40 ms round trip. Sustained throughput is
+    therefore measured as a STEADY-STATE difference between a long and a
+    short on-device scan — (t_long - t_short) / (T_long - T_short) — which
+    cancels the fixed tunnel cost exactly. Round 1's single-scan timing
+    under-reported throughput by ~1.5x for this reason.
+  * step() latency percentiles are wall-clock per call and therefore
+    RTT-dominated through the tunnel (~30 ms); they are reported as the
+    interactive-serving shape anyway, labeled accordingly. On a local chip
+    the same calls are ~1 ms.
+  * Always check for competing TPU processes before timing; overlapping
+    benchmarks swing results 2-10x.
 """
 
 import json
@@ -23,25 +29,92 @@ import time
 
 import numpy as np
 
+T_SHORT, T_LONG = 16, 80
+STEP_REPS = 30
 
-def bench_mode(fast: bool, batch: int, scan_steps: int, reps: int, audio, params):
-    import jax.numpy as jnp
-    from vadc_tpu.engine.runner import StreamRunner
 
-    runner = StreamRunner("v3", params, fast_math=fast)
-    state = runner.init_state(batch)
-    probs, state = runner.scan(audio, state)  # compile + warmup
-    np.asarray(probs)
+def _materialize(x):
+    return np.asarray(x)
 
+
+def _scan_time(runner, audio, batch, reps=3):
     best = float("inf")
-    last_probs = None
     for _ in range(reps):
         state = runner.init_state(batch)
         t0 = time.perf_counter()
         probs, state = runner.scan(audio, state)
-        last_probs = np.asarray(probs)
+        _materialize(probs)
         best = min(best, time.perf_counter() - t0)
-    return best / scan_steps, last_probs
+    return best
+
+
+def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
+    """Steady-state seconds per chunk-step via long/short scan difference."""
+    import jax
+    import jax.numpy as jnp
+
+    audio_long = jax.jit(
+        lambda k: jax.random.normal(k, (batch, T_LONG, chunk), jnp.float32) * 0.1
+    )(key)
+    _materialize(audio_long[0, 0, :2])
+    audio_short = audio_long[:, :T_SHORT]
+    # warmup/compile both lengths
+    for audio in (audio_short, audio_long):
+        probs, _ = runner.scan(audio, runner.init_state(batch))
+        _materialize(probs)
+    t_short = _scan_time(runner, audio_short, batch, reps)
+    t_long = _scan_time(runner, audio_long, batch, reps)
+    per_chunk = (t_long - t_short) / (T_LONG - T_SHORT)
+    return max(per_chunk, 1e-9)
+
+
+def step_percentiles(runner, batch, chunk, key):
+    """Wall-clock per step() call (interactive shape; RTT-dominated through
+    the tunnel). Returns (p50_ms, p99_ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    chunks = jax.jit(
+        lambda k: jax.random.normal(k, (batch, chunk), jnp.float32) * 0.1
+    )(key)
+    _materialize(chunks[0, :2])
+    state = runner.init_state(batch)
+    probs, state = runner.step(chunks, state)
+    _materialize(probs)
+    times = []
+    for _ in range(STEP_REPS):
+        t0 = time.perf_counter()
+        probs, state = runner.step(chunks, state)
+        _materialize(probs)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2] * 1e3
+    p99 = times[min(len(times) - 1, int(len(times) * 0.99))] * 1e3
+    return round(p50, 3), round(p99, 3)
+
+
+def bench_family(family, params, *, batch, chunk, chunk_seconds, key, fast=True,
+                 use_pallas=False):
+    from vadc_tpu.engine.runner import StreamRunner
+
+    runner = StreamRunner(family, params, fast_math=fast, use_pallas=use_pallas)
+    per_chunk = steady_state_per_chunk(runner, batch, chunk, key)
+    return batch * chunk_seconds / per_chunk, per_chunk
+
+
+def _load_bundled(name):
+    from pathlib import Path
+
+    from vadc_tpu.models.weights import load_params
+
+    for base in (
+        Path(__file__).parent / "vadc_tpu" / "data",
+        Path("/root/reference/testdata"),
+    ):
+        p = base / name
+        if p.exists():
+            return load_params(p)
+    return None, None
 
 
 def main():
@@ -49,36 +122,125 @@ def main():
     import jax.numpy as jnp
 
     from vadc_tpu.runtime import enable_persistent_compilation_cache
+    from vadc_tpu.engine.runner import StreamRunner
     from __graft_entry__ import _load_v31_params
 
     enable_persistent_compilation_cache()
-    params = _load_v31_params()
-    batch, scan_steps, reps = 2048, 100, 3
-    chunk_seconds = 1536 / 16000.0
+    v31 = _load_v31_params()
+    batch = 2048
+    chunk_s = 1536 / 16000.0
+    keys = iter(jax.random.split(jax.random.key(0), 32))
+    configs = {}
 
-    audio = jax.jit(
-        lambda key: jax.random.normal(key, (batch, scan_steps, 1536), jnp.float32) * 0.1
-    )(jax.random.key(0))
-    np.asarray(audio[0, 0, :2])
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
 
+    # ---- v3.1: faithful / fast / pallas throughput ----
     results = {}
     probs_by_mode = {}
-    for fast in (False, True):
-        per_chunk, probs = bench_mode(fast, batch, scan_steps, reps, audio, params)
-        streams_rt = batch * chunk_seconds / per_chunk
-        name = "fast" if fast else "faithful"
-        results[name] = streams_rt
-        probs_by_mode[name] = probs
-        print(
-            f"{name:9s}: {per_chunk*1e3:7.3f} ms/chunk-step -> "
-            f"{streams_rt:10.0f} streams at realtime (batch {batch})",
-            file=sys.stderr,
+    for name, kwargs in (
+        ("faithful", dict(fast=False)),
+        ("fast", dict(fast=True)),
+        ("pallas", dict(fast=True, use_pallas=True)),
+    ):
+        try:
+            runner = StreamRunner("v3", v31, fast_math=kwargs.get("fast", False),
+                                  use_pallas=kwargs.get("use_pallas", False))
+            per_chunk = steady_state_per_chunk(runner, batch, 1536, next(keys))
+            streams = batch * chunk_s / per_chunk
+            results[name] = streams
+            configs[f"v3_{name}_ms_per_chunk_step"] = round(per_chunk * 1e3, 4)
+            configs[f"v3_{name}_streams_per_chip"] = round(streams, 1)
+            # record probabilities for deviation reporting
+            audio = jax.jit(
+                lambda k: jax.random.normal(k, (256, 8, 1536), jnp.float32) * 0.1
+            )(jax.random.key(7))
+            p, _ = runner.scan(audio, runner.init_state(256))
+            probs_by_mode[name] = np.asarray(p)
+            log(f"v3 {name:9s}: {per_chunk*1e3:7.3f} ms/chunk-step -> "
+                f"{streams:10.0f} streams at realtime (batch {batch}, steady-state)")
+        except Exception as e:  # pallas may be unavailable on some toolchains
+            log(f"v3 {name}: skipped ({type(e).__name__}: {e})")
+
+    for mode in ("fast", "pallas"):
+        if mode in probs_by_mode:
+            dev = float(np.abs(probs_by_mode[mode] - probs_by_mode["faithful"]).max())
+            configs[f"v3_{mode}_vs_faithful_max_prob_dev"] = round(dev, 6)
+            log(f"v3 {mode}-vs-faithful probability deviation: {dev:.2e}")
+
+    # ---- v3.1 step-latency percentiles (interactive shape) ----
+    runner = StreamRunner("v3", v31, fast_math=True)
+    p50, p99 = step_percentiles(runner, batch, 1536, next(keys))
+    configs["v3_step_p50_ms_incl_tunnel_rtt"] = p50
+    configs["v3_step_p99_ms_incl_tunnel_rtt"] = p99
+    log(f"v3 step(batch {batch}) wall p50/p99: {p50}/{p99} ms (incl. tunnel RTT)")
+
+    # ---- single-stream RTF ----
+    runner1 = StreamRunner("v3", v31)  # faithful: the CLI's default mode
+    per_chunk_1 = steady_state_per_chunk(runner1, 8, 1536, next(keys))
+    rtf = chunk_s / per_chunk_1
+    configs["v3_single_stream_rtf"] = round(rtf, 1)
+    log(f"v3 single-stream RTF (faithful, steady-state): {rtf:.1f}x")
+
+    # ---- other model families (fast mode) ----
+    fams = []
+    v4_family, v4 = _load_bundled("silero_v4_16k.testtensor")
+    if v4 is not None:
+        fams.append((v4_family, v4, 1536, 1536 / 16000.0))
+    v48_family, v48 = _load_bundled("silero_v4_8k.testtensor")
+    if v48 is not None:
+        fams.append((v48_family, v48, 768, 768 / 8000.0))
+    try:
+        sys.path.insert(0, "tests")
+        from test_v5 import random_v5_archive
+        from test_v5_8k import random_v5_8k_archive
+        from vadc_tpu.models.silero_v5 import silero_v5_params
+
+        fams.append(("v5", silero_v5_params(random_v5_archive()), 512, 512 / 16000.0))
+        fams.append(
+            ("v5_8k", silero_v5_params(random_v5_8k_archive()), 256, 256 / 8000.0)
         )
-    dev = float(np.abs(probs_by_mode["fast"] - probs_by_mode["faithful"]).max())
-    print(f"fast-vs-faithful probability deviation: {dev:.2e}", file=sys.stderr)
+    except Exception as e:
+        log(f"v5 synthetic weights unavailable: {e}")
+    for family, params, chunk, cs in fams:
+        try:
+            streams, per_chunk = bench_family(
+                family, params, batch=batch, chunk=chunk, chunk_seconds=cs,
+                key=next(keys),
+            )
+            configs[f"{family}_fast_streams_per_chip"] = round(streams, 1)
+            configs[f"{family}_fast_ms_per_chunk_step"] = round(per_chunk * 1e3, 4)
+            log(f"{family:6s} fast: {per_chunk*1e3:7.3f} ms/chunk-step -> "
+                f"{streams:10.0f} streams at realtime")
+        except Exception as e:
+            log(f"{family}: skipped ({type(e).__name__}: {e})")
+
+    # ---- 512-stream offline batch pass (model + segmentation) ----
+    from vadc_tpu.cli.segmenter import SegmenterConfig
+    from vadc_tpu.engine.vectorized_segmenter import BatchSegmenter
+
+    nb, T = 512, 64
+    runner = StreamRunner("v3", v31, fast_math=True)
+    audio = jax.jit(
+        lambda k: jax.random.normal(k, (nb, T, 1536), jnp.float32) * 0.1
+    )(next(keys))
+    _materialize(audio[0, 0, :2])
+    probs, _ = runner.scan(audio, runner.init_state(nb))  # warmup
+    _materialize(probs)
+    t0 = time.perf_counter()
+    probs, _ = runner.scan(audio, runner.init_state(nb))
+    seg = BatchSegmenter(SegmenterConfig(), nb)
+    seg.feed(np.asarray(probs))
+    seg.finish()
+    wall = time.perf_counter() - t0
+    audio_seconds = nb * T * chunk_s
+    configs["offline_512_streams_aggregate_rt_factor"] = round(audio_seconds / wall, 1)
+    log(f"offline 512-stream pass: {audio_seconds/60:.0f} min audio in "
+        f"{wall:.2f} s = {audio_seconds/wall:.0f}x realtime aggregate "
+        f"(incl. segmentation)")
 
     best_mode, best = max(results.items(), key=lambda kv: kv[1])
-    print(f"best: {best_mode} -> {best:.0f} streams/chip", file=sys.stderr)
+    log(f"best: {best_mode} -> {best:.0f} streams/chip")
     print(
         json.dumps(
             {
@@ -86,6 +248,8 @@ def main():
                 "value": round(best, 1),
                 "unit": "streams",
                 "vs_baseline": round(best / 1000.0, 3),
+                "best_mode": best_mode,
+                "configs": configs,
             }
         )
     )

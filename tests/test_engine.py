@@ -137,3 +137,49 @@ def test_step_state_is_donated(v31_params):
     _, new_state = runner.step(chunks, state)
     assert state.h.is_deleted(), "input state.h should be donated"
     assert not new_state.h.is_deleted()
+
+
+@pytest.mark.parametrize("family", ["v3", "v5"])
+def test_tblock_scan_matches_plain_scan(v31_params, family):
+    """The chunk-blocked scan (front-end batched over B*tblock) must produce
+    the plain scan's probabilities and final state for every family shape,
+    including the v5 context carry."""
+    if family == "v3":
+        params, chunk = v31_params, 1536
+    else:
+        from tests.test_v5 import random_v5_archive
+        from vadc_tpu.models.silero_v5 import silero_v5_params
+
+        params, chunk = silero_v5_params(random_v5_archive()), 512
+
+    plain = StreamRunner(family, params)
+    blocked = StreamRunner(family, params, scan_block_chunks=2)
+    chunks = _random_chunks((3, 6, chunk), seed=7)
+    p_plain, s_plain = plain.scan(chunks, plain.init_state(3))
+    p_blk, s_blk = blocked.scan(chunks, blocked.init_state(3))
+    assert_close(p_blk, p_plain, 1e-6, f"{family} tblock probs")
+    assert_close(s_blk.h, s_plain.h, 1e-6, f"{family} tblock h")
+    assert_close(s_blk.c, s_plain.c, 1e-6, f"{family} tblock c")
+    if family == "v5":
+        assert_close(s_blk.context, s_plain.context, 0, "v5 tblock context")
+
+    # T not divisible by tblock falls back to the plain scan
+    odd = _random_chunks((3, 5, chunk), seed=8)
+    p_odd, _ = blocked.scan(odd, blocked.init_state(3))
+    p_ref, _ = plain.scan(odd, plain.init_state(3))
+    assert_close(p_odd, p_ref, 1e-6, f"{family} odd-T fallback")
+
+
+def test_multihost_dryrun():
+    """2 simulated host processes x 4 virtual CPU devices: jax.distributed
+    init, global mesh, per-process feeding (engine/distributed.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tool = Path(__file__).parent.parent / "tools" / "multihost_dryrun.py"
+    result = subprocess.run(
+        [sys.executable, str(tool)], capture_output=True, text=True, timeout=600
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "MULTIHOST DRYRUN OK" in result.stdout

@@ -86,10 +86,12 @@ class StreamRunner:
         *,
         fast_math: bool = False,
         use_pallas: bool = False,
+        scan_block_chunks: int | None = None,
     ):
         self.family = family
         self.params = params
         self.fast_math = fast_math
+        self.scan_block_chunks = scan_block_chunks
         self.module = get_family_module(family)
         module = self.module
         if use_pallas:
@@ -98,6 +100,11 @@ class StreamRunner:
             module = _PallasForward(module)
         step = functools.partial(_step, module, family)
         scan = functools.partial(_scan, module, family)
+        fns = {"step": step, "scan": scan}
+        if scan_block_chunks:
+            fns["scan_tblock"] = functools.partial(
+                _scan_tblock, module, family, scan_block_chunks
+            )
         if fast_math:
             from vadc_tpu.nn import functional as F
 
@@ -109,13 +116,18 @@ class StreamRunner:
 
                 return inner
 
-            step, scan = wrap(step), wrap(scan)
+            fns = {k: wrap(fn) for k, fn in fns.items()}
         # State buffers are donated: the step/scan output (hn, cn, context)
         # aliases the input buffers on device instead of copying — the XLA
         # equivalent of the reference's in-place h/c rotation (vadc.c:83-84).
         # Callers must treat the passed-in state as consumed.
-        self._step = jax.jit(step, donate_argnums=(2,))
-        self._scan = jax.jit(scan, donate_argnums=(2,))
+        self._step = jax.jit(fns["step"], donate_argnums=(2,))
+        self._scan = jax.jit(fns["scan"], donate_argnums=(2,))
+        self._scan_tblock = (
+            jax.jit(fns["scan_tblock"], donate_argnums=(2,))
+            if "scan_tblock" in fns
+            else None
+        )
 
     def init_state(self, n_streams: int) -> StreamState:
         return init_stream_state(self.family, n_streams)
@@ -125,7 +137,14 @@ class StreamRunner:
         return self._step(self.params, chunks, state)
 
     def scan(self, chunks: jax.Array, state: StreamState) -> tuple[jax.Array, StreamState]:
-        """chunks: [B, T, chunk_samples] -> (probs [B, T], final state)."""
+        """chunks: [B, T, chunk_samples] -> (probs [B, T], final state).
+
+        With scan_block_chunks set and T a multiple of it, the chunk-blocked
+        scan runs instead (identical results, front-end batched over
+        B*scan_block_chunks chunks per step)."""
+        tb = self.scan_block_chunks
+        if self._scan_tblock is not None and tb and chunks.shape[1] % tb == 0:
+            return self._scan_tblock(self.params, chunks, state)
         return self._scan(self.params, chunks, state)
 
 
@@ -156,6 +175,63 @@ def _scan(module, family: str, params: dict, chunks: jax.Array, state: StreamSta
 
     final_state, probs = lax.scan(body, state, chunks.transpose(1, 0, 2))
     return probs.transpose(1, 0), final_state
+
+
+def _decode(module, family: str, params: dict, out: jax.Array) -> jax.Array:
+    from vadc_tpu.nn import functional as F
+
+    if family == "v3":
+        return F.decoder_v3_nlc(out, params["dec_w"], params["dec_b"])
+    return F.decoder_v5_nlc(out, params["dec_w"], params["dec_b"])
+
+
+def _scan_tblock(
+    module, family: str, tblock: int, params: dict, chunks: jax.Array, state: StreamState
+):
+    """Chunk-blocked scan: the TPU-native observation that only the LSTM has
+    a cross-chunk dependency — the whole front-end (STFT, adaptive norm,
+    encoder) is chunk-independent, so `tblock` consecutive chunks of every
+    stream are flattened into one [B*tblock] encoder batch per scan step
+    (amortizing per-op overheads that dominate at small channel widths), and
+    only the LSTM+decoder walk the chunks in order. Numerics are the plain
+    scan's: the per-chunk math is identical, state threads identically (the
+    LSTM sees the same [tblock*frames] sequence it would see chunk by
+    chunk). The reference cannot express this shape at all — its chunk
+    minibatching serializes the LSTM per window of ONE stream (vadc.c:56-103).
+    """
+    from vadc_tpu.nn import functional as F
+
+    B, T, S = chunks.shape
+    if state.context is not None:
+        # attach every chunk's carried-context prefix up front (chunk t's
+        # prefix is chunk t-1's tail; chunk 0 takes the carry) — the
+        # front-end then has zero cross-chunk dependencies
+        ctx = state.context
+        nctx = ctx.shape[-1]
+        tails = jnp.concatenate([ctx[:, None, :], chunks[:, :-1, -nctx:]], axis=1)
+        inputs = jnp.concatenate([tails, chunks], axis=-1)
+        new_context = chunks[:, -1, -nctx:]
+    else:
+        inputs, new_context = chunks, None
+
+    encode = getattr(module, "encode_nlc", None) or module.encode
+    nblk = T // tblock
+    blocks = inputs.reshape(B, nblk, tblock, inputs.shape[-1]).transpose(1, 0, 2, 3)
+
+    def body(carry, blk):  # blk: [B, tblock, S']
+        h, c = carry
+        feats = encode(params, blk.reshape(B * tblock, blk.shape[-1]))
+        frames, width = feats.shape[1], feats.shape[2]
+        seq = feats.reshape(B, tblock * frames, width)
+        out, hn, cn = F.lstm(seq, h, c, params["lstm_w"], params["lstm_b"])
+        probs = _decode(
+            module, family, params, out.reshape(B * tblock, frames, width)
+        ).reshape(B, tblock)
+        return (hn, cn), probs
+
+    (hn, cn), probs = lax.scan(body, (state.h, state.c), blocks)
+    probs = probs.transpose(1, 0, 2).reshape(B, T)
+    return probs, StreamState(hn, cn, new_context)
 
 
 class MinibatchRunner:

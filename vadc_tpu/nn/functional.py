@@ -120,6 +120,8 @@ def _frame(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
     return x[:, idx]
 
 
+
+
 def accurate_log1p(y: jax.Array) -> jax.Array:
     """fp32 log1p to ~1 ulp for y >= 0 (XLA's builtin log is only ~6e-6 rel).
 
@@ -151,6 +153,14 @@ def accurate_log1p(y: jax.Array) -> jax.Array:
     return e * ln2_hi + (log_m + e * ln2_lo)
 
 
+def _log1p(y: jax.Array) -> jax.Array:
+    """Precision-selected log1p: the 1-ulp fdlibm construction under the
+    fidelity contract; XLA's builtin (~6e-6 rel, ~2x cheaper on the VPU —
+    the adaptive-norm log1p is VPU-bound at ~50 us/step at batch 2048) in
+    fast-math mode, where matmul rounding already dominates."""
+    return accurate_log1p(y) if _PRECISION == HIGHEST else jnp.log1p(y)
+
+
 def adaptive_audio_normalization(spect: jax.Array) -> jax.Array:
     """log1p-rescale then subtract a smoothed per-batch mean loudness scalar.
 
@@ -159,7 +169,7 @@ def adaptive_audio_normalization(spect: jax.Array) -> jax.Array:
     channels; reflect-pad 3 and smooth with the fixed 7-tap filter; mean over
     frames; subtract that scalar from the whole spectrogram.
     """
-    spect_e = accurate_log1p(spect * 1048576.0)
+    spect_e = _log1p(spect * 1048576.0)
     mean = jnp.mean(spect_e, axis=1, keepdims=True)  # [B, 1, F]
     mean_padded = reflect_pad_last(mean, 3, 3)
     taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
@@ -320,6 +330,10 @@ def attention(
     # layer at batch 2048, more than the attention matmuls themselves).
     # Head outputs merge through column slices of the projection weight, so
     # no activation is ever re-laid-out. Full-model: 1.39 vs 1.47 ms.
+    # (A fully-folded bilinear form — scores = (x' M) x'^T with the biases
+    # in a ones column — was benchmarked at +110 us/step over this: the
+    # [B, S, D+1] intermediates relayout worse than the smaller head
+    # activations. See docs/PERFORMANCE.md.)
     scale = jnp.sqrt(jnp.float32(head_dim))
     out = None
     for h in range(n_heads):
@@ -470,6 +484,9 @@ def stft_magnitude_nlc(
     n_filters, n_fft = basis.shape
     cutoff = n_fft // 2 + 1
     padded = reflect_pad_last(audio, pad_left, pad_right)
+    # frame gather: a slices+concat variant and a hop-block matmul variant
+    # were both benchmarked SLOWER than the gather under XLA:TPU (despite the
+    # gather's 52 MB relayout copy) — see docs/PERFORMANCE.md optimization log
     frames = _frame(padded, n_fft, hop)  # [B, F, n_fft]
     spec = jnp.einsum("bfn,cn->bfc", frames, basis, precision=_PRECISION)
     real = spec[:, :, :cutoff]
@@ -484,7 +501,7 @@ def stft_magnitude_nlc(
 
 def adaptive_audio_normalization_nlc(spect: jax.Array) -> jax.Array:
     """Adaptive normalization over [B, F, C] (channels last)."""
-    spect_e = accurate_log1p(spect * 1048576.0)
+    spect_e = _log1p(spect * 1048576.0)
     mean = jnp.mean(spect_e, axis=-1)  # over channels -> [B, F]
     mean_padded = reflect_pad_last(mean, 3, 3)
     taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
