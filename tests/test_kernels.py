@@ -133,3 +133,20 @@ def test_fused2d_bn_folded_archive(testdata):
     probs_ref, _, _ = silero_v31.forward(folded, audio, h, c)
     probs, _, _ = forward_fused2d(folded, audio, h, c, block_streams=4)
     assert_close(probs, probs_ref, 1e-5, "fused2d BN-folded probs")
+
+
+def test_fused2d_attn3d_matches_model(testdata):
+    """The batched-attention variant (toolchains with 3-D dot support) must
+    reproduce the XLA forward like the block-diagonal form does."""
+    from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
+    from vadc_tpu.models.weights import silero_v31_params
+    from vadc_tpu.models import silero_v31
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    rng = np.random.default_rng(12)
+    audio = jnp.asarray(rng.normal(size=(8, 1536)).astype(np.float32) * 0.1)
+    h, c = silero_v31.init_state(8)
+    probs_ref, hn_ref, _ = silero_v31.forward(params, audio, h, c)
+    probs, hn, _ = forward_fused2d(params, audio, h, c, block_streams=4, attn_3d=True)
+    assert_close(probs, probs_ref, 1e-6, "fused2d attn3d probs")
+    assert_close(hn, hn_ref, 1e-5, "fused2d attn3d hn")

@@ -25,25 +25,15 @@ def bucket(err: float) -> str:
     return "above 1"
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--device", choices=("cpu", "tpu"), default="cpu")
-    args = parser.parse_args()
-
-    import jax
-
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+def run_cases(testdata: Path) -> list[tuple[str, float]]:
+    """Run every tracked golden fixture on the CURRENT jax backend and
+    return (op name, max-abs-error) pairs. Shared by the CLI report and
+    tools/tpu_check.py's on-chip regression tier."""
     import jax.numpy as jnp
 
     from vadc_tpu.io.testtensor import load_testtensor
     from vadc_tpu.nn import functional as F
     from vadc_tpu.models.weights import transformer_layer_params, V3_STRIDES
-
-    testdata = Path("/root/reference/testdata")
-    if not testdata.is_dir():
-        print("reference testdata not found", file=sys.stderr)
-        return 1
 
     results = []
 
@@ -99,6 +89,24 @@ def main():
     for lid, stride in zip((1, 2, 3, 4), V3_STRIDES):
         x = F.transformer_layer(x, transformer_layer_params(d, f"transformer_l{lid}."), stride=stride)
     check("adaptive_norm + encoder", x, d["result"])
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--device", choices=("cpu", "tpu"), default="cpu")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    testdata = Path("/root/reference/testdata")
+    if not testdata.is_dir():
+        print("reference testdata not found", file=sys.stderr)
+        return 1
+    results = run_cases(testdata)
 
     print(f"device: {jax.devices()[0]}")
     print(f"{'op':28s} {'max-abs-error':>14s}  bucket")

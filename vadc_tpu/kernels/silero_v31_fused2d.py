@@ -81,7 +81,7 @@ def _selection_matrices(blk: int, seq0: int = SEQ0) -> list[np.ndarray]:
     return sels
 
 
-def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
+def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0, attn_3d: bool = False):
     sizes = _seq_sizes(seq0)
     dot_prec = lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
     in_dt = jnp.bfloat16 if fast else jnp.float32
@@ -90,6 +90,15 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
         return jnp.dot(
             a.astype(in_dt),
             b.astype(in_dt),
+            preferred_element_type=jnp.float32,
+            precision=dot_prec,
+        )
+
+    def bdot(a, b, dims):
+        return lax.dot_general(
+            a.astype(in_dt),
+            b.astype(in_dt),
+            dims,
             preferred_element_type=jnp.float32,
             precision=dot_prec,
         )
@@ -121,26 +130,50 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
         else:
             h = h + x
         h = jax.nn.relu(h)
-        # ---- attention (k.q^T orientation), block-diagonal over streams ----
+        # ---- attention (k.q^T orientation) ----
         qkv = dot(h, p["qkv_w"][:].T) + p["qkv_b"][:]  # [R, 3C]
-        row_stream = lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seq
-        col_stream = lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seq
-        same = row_stream == col_stream
         hd = c_out // 2
         attn_out = None
-        for head in range(2):
-            q = qkv[:, head * hd : (head + 1) * hd]
-            k_ = qkv[:, c_out + head * hd : c_out + (head + 1) * hd]
-            v = qkv[:, 2 * c_out + head * hd : 2 * c_out + (head + 1) * hd]
-            scores = dot(k_, q.T) / jnp.sqrt(jnp.float32(hd))
-            scores = jnp.where(same, scores, -1e30)
-            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-            alpha = jnp.exp(scores)
-            alpha = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
-            head_out = dot(alpha, v)  # [R, hd]
-            # concat-free head merge: out_proj columns for this head
-            proj = dot(head_out, p["att_proj_w"][:, head * hd : (head + 1) * hd].T)
-            attn_out = proj if attn_out is None else attn_out + proj
+        if attn_3d:
+            # true per-stream batched attention (toolchains with batched
+            # dot_general): 1/BLK the score FLOPs of the block-diagonal
+            # form, no mask
+            qkv3 = qkv.reshape(blk, seq, 3 * c_out)
+            for head in range(2):
+                q = qkv3[:, :, head * hd : (head + 1) * hd]
+                k_ = qkv3[:, :, c_out + head * hd : c_out + (head + 1) * hd]
+                v = qkv3[:, :, 2 * c_out + head * hd : 2 * c_out + (head + 1) * hd]
+                scores = bdot(k_, q, (((2,), (2,)), ((0,), (0,))))  # [BLK,S,S]
+                scores = scores / jnp.sqrt(jnp.float32(hd))
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                alpha = jnp.exp(scores)
+                alpha = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
+                head_out = bdot(alpha, v, (((2,), (1,)), ((0,), (0,))))
+                proj = dot(
+                    head_out.reshape(rows, hd),
+                    p["att_proj_w"][:, head * hd : (head + 1) * hd].T,
+                )
+                attn_out = proj if attn_out is None else attn_out + proj
+        else:
+            # block-diagonal fallback: whole-block [R, R] masked dots (the
+            # only form the round-1 Mosaic toolchain compiled) — a
+            # deliberate xBLK FLOP overspend on the tiny attention matmuls
+            row_stream = lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seq
+            col_stream = lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seq
+            same = row_stream == col_stream
+            for head in range(2):
+                q = qkv[:, head * hd : (head + 1) * hd]
+                k_ = qkv[:, c_out + head * hd : c_out + (head + 1) * hd]
+                v = qkv[:, 2 * c_out + head * hd : 2 * c_out + (head + 1) * hd]
+                scores = dot(k_, q.T) / jnp.sqrt(jnp.float32(hd))
+                scores = jnp.where(same, scores, -1e30)
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                alpha = jnp.exp(scores)
+                alpha = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
+                head_out = dot(alpha, v)  # [R, hd]
+                # concat-free head merge: out_proj columns for this head
+                proj = dot(head_out, p["att_proj_w"][:, head * hd : (head + 1) * hd].T)
+                attn_out = proj if attn_out is None else attn_out + proj
         h = h + attn_out + p["att_proj_b"][:]
         h = layer_norm(h, p["norm1_w"][:], p["norm1_b"][:])
         ff = jax.nn.relu(dot(h, p["lin1_w"][:].T) + p["lin1_b"][:])
@@ -193,7 +226,7 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_streams", "fast"))
+@functools.partial(jax.jit, static_argnames=("block_streams", "fast", "attn_3d"))
 def forward_fused2d(
     params: dict,
     audio: jax.Array,
@@ -202,6 +235,7 @@ def forward_fused2d(
     *,
     block_streams: int = 32,
     fast: bool = False,
+    attn_3d: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in v3.1 forward: XLA front-end (STFT + adaptive norm) + the
     fused 2-D encoder/LSTM/decoder kernel. audio [B, 1536]; h, c [2, B, 64]."""
@@ -234,7 +268,7 @@ def forward_fused2d(
     ]
     sel_specs = [pl.BlockSpec(s.shape, lambda i: (0, 0)) for s in sels]
     probs, hn, cn = pl.pallas_call(
-        _make_kernel(treedef, blk, fast, seq0),
+        _make_kernel(treedef, blk, fast, seq0, attn_3d),
         grid=grid,
         in_specs=param_specs
         + sel_specs
