@@ -183,29 +183,34 @@ def main():
     log(f"v3 single-stream RTF (faithful, steady-state): {rtf:.1f}x")
 
     # ---- other model families (fast mode) ----
+    # v4 16k runs at batch 1024: its longer padded STFT frame gather blows
+    # the scoped-VMEM limit at 2048 (measured; throughput reported per chip
+    # at the batch that fits)
     fams = []
     v4_family, v4 = _load_bundled("silero_v4_16k.testtensor")
     if v4 is not None:
-        fams.append((v4_family, v4, 1536, 1536 / 16000.0))
+        fams.append((v4_family, v4, 1536, 1536 / 16000.0, 1024))
     v48_family, v48 = _load_bundled("silero_v4_8k.testtensor")
     if v48 is not None:
-        fams.append((v48_family, v48, 768, 768 / 8000.0))
+        fams.append((v48_family, v48, 768, 768 / 8000.0, batch))
     try:
         sys.path.insert(0, "tests")
         from test_v5 import random_v5_archive
         from test_v5_8k import random_v5_8k_archive
         from vadc_tpu.models.silero_v5 import silero_v5_params
 
-        fams.append(("v5", silero_v5_params(random_v5_archive()), 512, 512 / 16000.0))
         fams.append(
-            ("v5_8k", silero_v5_params(random_v5_8k_archive()), 256, 256 / 8000.0)
+            ("v5", silero_v5_params(random_v5_archive()), 512, 512 / 16000.0, batch)
+        )
+        fams.append(
+            ("v5_8k", silero_v5_params(random_v5_8k_archive()), 256, 256 / 8000.0, batch)
         )
     except Exception as e:
         log(f"v5 synthetic weights unavailable: {e}")
-    for family, params, chunk, cs in fams:
+    for family, params, chunk, cs, fam_batch in fams:
         try:
             streams, per_chunk = bench_family(
-                family, params, batch=batch, chunk=chunk, chunk_seconds=cs,
+                family, params, batch=fam_batch, chunk=chunk, chunk_seconds=cs,
                 key=next(keys),
             )
             configs[f"{family}_fast_streams_per_chip"] = round(streams, 1)
@@ -234,10 +239,15 @@ def main():
     seg.finish()
     wall = time.perf_counter() - t0
     audio_seconds = nb * T * chunk_s
-    configs["offline_512_streams_aggregate_rt_factor"] = round(audio_seconds / wall, 1)
-    log(f"offline 512-stream pass: {audio_seconds/60:.0f} min audio in "
-        f"{wall:.2f} s = {audio_seconds/wall:.0f}x realtime aggregate "
-        f"(incl. segmentation)")
+    # model + on-device FSM only, audio already device-resident — the
+    # end-to-end corpus number (file IO + load + segment + print) is the
+    # cli.batch --stats line, ~318x realtime for 512 files in round 1
+    configs["offline_512_streams_model_plus_fsm_rt_factor"] = round(
+        audio_seconds / wall, 1
+    )
+    log(f"offline 512-stream pass (model + on-device FSM, device-resident "
+        f"audio): {audio_seconds/60:.0f} min audio in {wall:.2f} s = "
+        f"{audio_seconds/wall:.0f}x realtime aggregate")
 
     best_mode, best = max(results.items(), key=lambda kv: kv[1])
     log(f"best: {best_mode} -> {best:.0f} streams/chip")

@@ -65,7 +65,7 @@ def main() -> int:
     c0 = jnp.asarray(rng.normal(size=(2, 8, 64)).astype(np.float32) * 0.1)
     y_ref, hn_ref, cn_ref = F.lstm(x, h0, c0, params["lstm_w"], params["lstm_b"])
     y, hn, cn = lstm_fused(
-        x, h0, c0, params["lstm_w"], params["lstm_b"], block_streams=4
+        x, h0, c0, params["lstm_w"], params["lstm_b"], block_streams=8
     )
     check(
         "lstm_fused",
@@ -82,7 +82,7 @@ def main() -> int:
     feats = silero_v31.encode_nlc(params, audio)
     probs, hn, cn = lstm_decoder_fused(
         feats, h, c, params["lstm_w"], params["lstm_b"],
-        params["dec_w"], params["dec_b"], block_streams=4,
+        params["dec_w"], params["dec_b"], block_streams=8,
     )
     check(
         "lstm_decoder_fused",
@@ -99,7 +99,7 @@ def main() -> int:
     for step in range(2):
         a = jnp.asarray(rng.normal(size=(8, 1536)).astype(np.float32) * 0.1)
         p_ref, hr, cr = silero_v31.forward(params, a, hr, cr)
-        p_f, hf, cf = forward_fused2d(params, a, hf, cf, block_streams=4)
+        p_f, hf, cf = forward_fused2d(params, a, hf, cf, block_streams=8)
         worst = max(worst, float(np.abs(np.asarray(p_f) - np.asarray(p_ref)).max()))
     check("fused2d_forward_state_carry", worst, 1e-5)
 

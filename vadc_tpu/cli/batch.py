@@ -113,9 +113,12 @@ def _main(argv: list[str] | None = None) -> int:
 
     runner = ShardedStreamRunner(family, params, mesh, fast_math=args.fast)
     state = runner.init_state(n_streams)
+    # 8 kHz branch families time chunks at their own rate (inputs are then
+    # raw 8 kHz s16le files)
+    model_sr = getattr(runner.module, "SAMPLE_RATE", SAMPLE_RATE)
     seg_config = SegmenterConfig.from_ms(
         chunk_samples=seq,
-        sample_rate=SAMPLE_RATE,
+        sample_rate=model_sr,
         min_silence_ms=args.min_silence,
         min_speech_ms=args.min_speech,
         threshold=args.threshold,
@@ -143,7 +146,7 @@ def _main(argv: list[str] | None = None) -> int:
 
     if args.stats:
         wall = time.perf_counter() - t0
-        total_audio = float(valid.sum()) * seq / SAMPLE_RATE
+        total_audio = float(valid.sum()) * seq / model_sr
         print(
             f"{n_files} files, {total_audio:.1f} s audio in {wall:.2f} s "
             f"({total_audio / wall:.1f}x realtime)",

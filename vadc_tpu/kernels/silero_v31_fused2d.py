@@ -25,13 +25,14 @@ The STFT + adaptive normalization stay in XLA (fast there; the gather-free
 variant measured slower under XLA and the in-kernel variant needs the
 crashing reshape). Correctness oracle: models/silero_v31.forward.
 
-MEASURED (TPU v5e, batch 2048, 100-chunk scan): 2.33 ms/chunk-step in bf16
-vs 1.47 ms for the plain-XLA path — the [R, R] attention overspend plus
-small per-block matmul tiles cost more than the fusion saves, so XLA remains
-the default. This kernel stands as the compilable whole-model fusion for
-when a full Mosaic toolchain (3-D batched dots) is available, at which point
-the block-diagonal trick and selection matmuls can be replaced by true
-batched attention at ~1/BLK the attention FLOPs.
+MEASURED (TPU v5e, batch 2048, steady-state): 2.5 ms/chunk-step in bf16 at
+BLK=32 vs 1.03 ms for the plain-XLA path, so XLA remains the default. The
+round-2 toolchain added batched dot_general (attn_3d=True swaps in true
+per-stream attention at 1/BLK the score FLOPs) — measured 2.56 ms: the
+kernel is bound by its sequential per-block op chain, not attention FLOPs.
+Scaling the block up does not help either: BLK=64 measures 2.75 ms (the
+selection matmuls grow quadratically with BLK) and BLK=128 exceeds the
+remote compile helper's limits. Full experiment matrix: docs/PERFORMANCE.md.
 """
 
 from __future__ import annotations

@@ -13,13 +13,18 @@ gone). That retires the 2-D workarounds of silero_v31_fused2d:
     selection matrices alone were ~21 MB and the remote compiler died);
   * the LSTM reads x[:, t, :] slabs directly — no frame-major permutation.
 
-Why block size is the whole game: at batch 2048 the XLA fast path executes
-~60 graph ops with a measured ~14 us/op floor (~0.9 ms/step), while ops
-INSIDE a Mosaic kernel cost ~0.24 us — the fused kernel's cost is
-(grid steps) x (internal ops), so halving the grid nearly halves the step.
 The STFT + adaptive norm stay in XLA (fast there; the in-kernel hop-block
-variant is what pushed the whole-model compile over the remote compiler's
-limits). Correctness oracle: models/silero_v31.forward.
+variant pushed the whole-model compile over the remote compiler's limits).
+Correctness oracle: models/silero_v31.forward (interpret parity 4e-10).
+
+MEASURED (TPU v5e, batch 2048, steady-state): **5.5 ms/chunk-step at
+BLK=32** vs 2.5 ms for the 2-D kernel and 1.03 ms for plain XLA — this
+remote Mosaic toolchain lowers the 3-D forms (batched dots, 3-D
+elementwise) an order of magnitude less efficiently than the 2-D subset,
+and BLK >= 64 SIGKILLs its compile helper (~13 min then killed). Full
+experiment matrix in docs/PERFORMANCE.md. The kernel stands as the natural
+formulation for a standard Mosaic toolchain; on this one the XLA path
+remains the production default.
 
 Reference hot path being fused: silero_v3.c:72-215.
 """
@@ -44,25 +49,22 @@ def _interpret() -> bool:
 
 
 def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
+    # fast mode = precision DEFAULT on fp32 values (bf16 MXU multiplies).
+    # Do NOT explicitly cast operands to bf16: 3-D dots whose contraction
+    # dim is not a multiple of 128 (the 129-bin spectrogram) crash the
+    # remote Mosaic compiler when the operands are bf16-typed, but lower
+    # fine as fp32 values at DEFAULT precision — same arithmetic (probed).
     dot_prec = lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
-    in_dt = jnp.bfloat16 if fast else jnp.float32
 
     def dot(a, b):
         """[..., K] x [K, O] — 3-D x 2-D dots lower fine on this toolchain."""
         return jnp.dot(
-            a.astype(in_dt),
-            b.astype(in_dt),
-            preferred_element_type=jnp.float32,
-            precision=dot_prec,
+            a, b, preferred_element_type=jnp.float32, precision=dot_prec
         )
 
     def bdot(a, b, dims):
         return lax.dot_general(
-            a.astype(in_dt),
-            b.astype(in_dt),
-            dims,
-            preferred_element_type=jnp.float32,
-            precision=dot_prec,
+            a, b, dims, preferred_element_type=jnp.float32, precision=dot_prec
         )
 
     def layer_norm(x, w, b):
@@ -138,10 +140,15 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
             x = transformer_layer(x, layer_p, stride)
         # x: [BLK, 7, 64]
 
-        # 2-layer LSTM; decoder folded into a running relu-sum
-        w_l = [param_refs["lstm_w"][layer].T for layer in range(2)]
-        b_l = [param_refs["lstm_b"][layer] for layer in range(2)]
+        # 2-layer LSTM; decoder folded into a running relu-sum. The fused
+        # ih|hh weight is row-split into two matmuls: concatenating a
+        # 3-D-slab slice with the hidden state on the lane dim miscompiles
+        # on the remote Mosaic toolchain (probed), and two [B,64]x[64,256]
+        # dots cost the same as one [B,128]x[128,256] anyway.
         hidden = 64
+        w_x = [param_refs["lstm_w"][layer].T[:hidden] for layer in range(2)]
+        w_h = [param_refs["lstm_w"][layer].T[hidden:] for layer in range(2)]
+        b_l = [param_refs["lstm_b"][layer] for layer in range(2)]
         h = [h0_ref[0], h0_ref[1]]
         c = [c0_ref[0], c0_ref[1]]
         seq = x.shape[1]
@@ -149,10 +156,7 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0):
         for t in range(seq):
             inp = x[:, t, :]
             for layer in range(2):
-                gates = (
-                    dot(jnp.concatenate([inp, h[layer]], axis=-1), w_l[layer])
-                    + b_l[layer]
-                )
+                gates = dot(inp, w_x[layer]) + dot(h[layer], w_h[layer]) + b_l[layer]
                 i = jax.nn.sigmoid(gates[:, :hidden])
                 f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
                 g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
