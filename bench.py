@@ -139,12 +139,13 @@ def main():
     results = {}
     probs_by_mode = {}
     for name, kwargs in (
-        ("faithful", dict(fast=False)),
-        ("fast", dict(fast=True)),
-        ("pallas", dict(fast=True, use_pallas=True)),
+        ("faithful", dict(precision="faithful")),
+        ("balanced", dict(precision="balanced")),
+        ("fast", dict(precision="fast")),
+        ("pallas", dict(precision="fast", use_pallas=True)),
     ):
         try:
-            runner = StreamRunner("v3", v31, fast_math=kwargs.get("fast", False),
+            runner = StreamRunner("v3", v31, precision=kwargs["precision"],
                                   use_pallas=kwargs.get("use_pallas", False))
             per_chunk = steady_state_per_chunk(runner, batch, 1536, next(keys))
             streams = batch * chunk_s / per_chunk
@@ -162,7 +163,7 @@ def main():
         except Exception as e:  # pallas may be unavailable on some toolchains
             log(f"v3 {name}: skipped ({type(e).__name__}: {e})")
 
-    for mode in ("fast", "pallas"):
+    for mode in ("balanced", "fast", "pallas"):
         if mode in probs_by_mode:
             dev = float(np.abs(probs_by_mode[mode] - probs_by_mode["faithful"]).max())
             configs[f"v3_{mode}_vs_faithful_max_prob_dev"] = round(dev, 6)

@@ -183,3 +183,25 @@ def test_multihost_dryrun():
     )
     assert result.returncode == 0, result.stdout + result.stderr
     assert "MULTIHOST DRYRUN OK" in result.stdout
+
+
+def test_precision_modes(v31_params):
+    """All three precision tiers trace and run; on CPU (where matmul
+    precision flags are no-ops) they agree exactly, which pins the modes to
+    pure precision changes — no structural divergence."""
+    chunks = _random_chunks((2, 2, 1536), seed=9)
+    outs = {}
+    for mode in ("faithful", "balanced", "fast"):
+        r = StreamRunner("v3", v31_params, precision=mode)
+        p, _ = r.scan(chunks, r.init_state(2))
+        outs[mode] = np.asarray(p)
+    # CPU executes every tier in fp64-accumulated fp32; only op selection
+    # could differ (the fast path swaps attention/log1p forms)
+    assert_close(outs["balanced"], outs["faithful"], 1e-6, "balanced vs faithful")
+    assert_close(outs["fast"], outs["faithful"], 1e-4, "fast vs faithful")
+
+    m = MinibatchRunner(
+        "v3", v31_params, batch_size=2, chunk_samples=1536, precision="balanced"
+    )
+    probs = m.process_window(np.asarray(_random_chunks((2 * 1536,), seed=10)))
+    assert len(probs) == 2

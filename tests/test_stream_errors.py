@@ -150,3 +150,37 @@ def test_cli_reports_latched_error_kind(testdata, monkeypatch, capsys):
     out, err = capsys.readouterr()
     assert len(out.strip().splitlines()) == 96
     assert "Error: BS_Error_EndOfFile" in err
+
+
+def test_cli_8k_family_times_at_model_rate(monkeypatch, capsys, tmp_path):
+    """8 kHz families must time chunks at 8 kHz: a 768-sample chunk is 96 ms,
+    so N chunks of speech land at N*0.096 s boundaries — not half that
+    (round-2 fix: the CLI used to hardcode 16 kHz everywhere)."""
+    import io as _io
+
+    import numpy as np
+
+    from tests.test_v5_8k import random_v5_8k_archive
+    from vadc_tpu.cli import main as cli_main
+    from vadc_tpu.io.testtensor import save_testtensor
+
+    archive_path = tmp_path / "v5_8k.testtensor"
+    save_testtensor(archive_path, random_v5_8k_archive())
+
+    # silence: random-weight v5 won't detect speech, but the stats line and
+    # probability COUNT expose the chunking rate: 8000 samples at 8 kHz =
+    # 31 full 256-sample chunks
+    pcm = b"\x00\x00" * 8000
+
+    class _Stdin:
+        def __init__(self, stream):
+            self.buffer = stream
+
+    monkeypatch.setattr(cli_main.sys, "stdin", _Stdin(_io.BytesIO(pcm)))
+    rc = cli_main.main(
+        ["--raw_probabilities", "--model", str(archive_path)]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "Running with sequence count 256" in err
+    assert len(out.strip().splitlines()) == 8000 // 256  # 31 chunks @ 8 kHz

@@ -108,13 +108,20 @@ def main() -> int:
 
     chunks = jnp.asarray(rng.normal(size=(64, 8, 1536)).astype(np.float32) * 0.1)
     faithful = StreamRunner("v3", params)
-    fast = StreamRunner("v3", params, fast_math=True)
+    fast = StreamRunner("v3", params, precision="fast")
+    balanced = StreamRunner("v3", params, precision="balanced")
     p1, _ = faithful.scan(chunks, faithful.init_state(64))
     p2, _ = fast.scan(chunks, fast.init_state(64))
+    p3, _ = balanced.scan(chunks, balanced.init_state(64))
     check(
         "fast_vs_faithful_probability",
         float(np.abs(np.asarray(p1) - np.asarray(p2)).max()),
         2e-2,
+    )
+    check(
+        "balanced_vs_faithful_probability",
+        float(np.abs(np.asarray(p1) - np.asarray(p3)).max()),
+        1e-4,
     )
 
     # ---- per-op golden fidelity on the real chip ----

@@ -40,8 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speech_pad", type=float, default=30.0)
     p.add_argument("--stats", action="store_true")
     p.add_argument("--fast", action="store_true",
-                   help="bf16 matmuls (~1.7x throughput, ~5e-3 probability "
-                        "deviation vs the fp32 fidelity contract)")
+                   help="shorthand for --precision fast")
+    p.add_argument("--precision", choices=("faithful", "balanced", "fast"),
+                   default=None,
+                   help="matmul tier: faithful = fp32 fidelity contract "
+                        "(default); balanced = bf16_3x, +43%% throughput at "
+                        "~2e-6 probability deviation; fast = bf16, ~2x at "
+                        "~5e-3 (decision-compatible)")
     return p
 
 
@@ -111,7 +116,9 @@ def _main(argv: list[str] | None = None) -> int:
     t_pad = -(-t_chunks // slab) * slab
     grid = np.pad(grid, ((0, n_streams - n_files), (0, t_pad - t_chunks), (0, 0)))
 
-    runner = ShardedStreamRunner(family, params, mesh, fast_math=args.fast)
+    runner = ShardedStreamRunner(
+        family, params, mesh, fast_math=args.fast, precision=args.precision
+    )
     state = runner.init_state(n_streams)
     # 8 kHz branch families time chunks at their own rate (inputs are then
     # raw 8 kHz s16le files)

@@ -66,14 +66,23 @@ class MultiHostStreamEngine:
     device-resident, globally sharded, and is never gathered to any host.
     """
 
-    def __init__(self, family: str, params: dict, *, fast_math: bool = False):
+    def __init__(
+        self,
+        family: str,
+        params: dict,
+        *,
+        fast_math: bool = False,
+        precision: str | None = None,
+    ):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from vadc_tpu.engine.shard import ShardedStreamRunner, make_stream_mesh
 
         self.mesh = make_stream_mesh(jax.devices())  # all devices, all hosts
-        self.runner = ShardedStreamRunner(family, params, self.mesh, fast_math=fast_math)
+        self.runner = ShardedStreamRunner(
+            family, params, self.mesh, fast_math=fast_math, precision=precision
+        )
         self._chunk_sharding = NamedSharding(self.mesh, P("streams"))
         self._chunk_sharding_t = NamedSharding(self.mesh, P("streams", None, None))
         self.n_processes = jax.process_count()

@@ -75,9 +75,13 @@ def init_stream_state(family: str, n_streams: int) -> StreamState:
 class StreamRunner:
     """Batched independent-stream inference for one model family.
 
-    fast_math=True traces the model with bf16 matmuls (fp32 accumulation) —
-    roughly 2-6x MXU throughput for ~1e-2-level probability deviation; the
-    default keeps the full-fp32 fidelity contract."""
+    precision selects the matmul tier (functional.PRECISION_MODES):
+      * 'faithful' (default) — full-fp32, the golden-fidelity contract;
+      * 'balanced' — bf16_3x, +43% throughput at ~2e-6 probability
+        deviation (still far inside the 1e-4 per-op tier);
+      * 'fast' — single-pass bf16, ~2x throughput at ~5e-3 deviation
+        (decision-compatible with the CLI hysteresis).
+    fast_math=True is shorthand for precision='fast'."""
 
     def __init__(
         self,
@@ -85,12 +89,16 @@ class StreamRunner:
         params: dict,
         *,
         fast_math: bool = False,
+        precision: str | None = None,
         use_pallas: bool = False,
         scan_block_chunks: int | None = None,
     ):
+        if precision is None:
+            precision = "fast" if fast_math else "faithful"
         self.family = family
         self.params = params
-        self.fast_math = fast_math
+        self.precision = precision
+        self.fast_math = precision == "fast"
         self.scan_block_chunks = scan_block_chunks
         self.module = get_family_module(family)
         module = self.module
@@ -105,13 +113,13 @@ class StreamRunner:
             fns["scan_tblock"] = functools.partial(
                 _scan_tblock, module, family, scan_block_chunks
             )
-        if fast_math:
+        if precision != "faithful":
             from vadc_tpu.nn import functional as F
 
             def wrap(fn):
                 @functools.wraps(fn)
                 def inner(*args):
-                    with F.fast_math():
+                    with F.precision_mode(precision):
                         return fn(*args)
 
                 return inner
@@ -238,17 +246,34 @@ class MinibatchRunner:
     """Reference-parity single-stream driver: batches of consecutive chunks
     flattened through the LSTM, state rotated between batches."""
 
-    def __init__(self, family: str, params: dict, *, batch_size: int, chunk_samples: int):
+    def __init__(
+        self,
+        family: str,
+        params: dict,
+        *,
+        batch_size: int,
+        chunk_samples: int,
+        precision: str = "faithful",
+    ):
         self.family = family
         self.params = params
+        self.precision = precision
         self.module = get_family_module(family)
         self.batch_size = batch_size
         self.chunk_samples = chunk_samples
         mod = self.module
         self.h, self.c = mod.init_state(1)
         self.context = mod.init_context(1) if hasattr(mod, "init_context") else None
+        fwd = self._forward
+        if precision != "faithful":
+            from vadc_tpu.nn import functional as F
+
+            def fwd(*args, _inner=self._forward):
+                with F.precision_mode(precision):
+                    return _inner(*args)
+
         # h/c/context are donated (rotated in place on device, vadc.c:83-84)
-        self._fwd = jax.jit(self._forward, donate_argnums=(2, 3, 4))
+        self._fwd = jax.jit(fwd, donate_argnums=(2, 3, 4))
 
     def _forward(self, params, chunks, h, c, context):
         if context is not None:

@@ -35,22 +35,33 @@ class ShardedStreamRunner:
     axis. n_streams must be a multiple of the mesh size.
     """
 
-    def __init__(self, family: str, params: dict, mesh: Mesh, *, fast_math: bool = False):
+    def __init__(
+        self,
+        family: str,
+        params: dict,
+        mesh: Mesh,
+        *,
+        fast_math: bool = False,
+        precision: str | None = None,
+    ):
+        if precision is None:
+            precision = "fast" if fast_math else "faithful"
         self.family = family
         self.mesh = mesh
+        self.precision = precision
         self.module = get_family_module(family)
         replicated = NamedSharding(mesh, P())
         self.params = jax.device_put(params, replicated)
 
         step_fn = functools.partial(_step, self.module, family)
         scan_fn = functools.partial(_scan, self.module, family)
-        if fast_math:
+        if precision != "faithful":
             from vadc_tpu.nn import functional as F
 
             def wrap(fn):
                 @functools.wraps(fn)
                 def inner(*args):
-                    with F.fast_math():
+                    with F.precision_mode(precision):
                         return fn(*args)
 
                 return inner

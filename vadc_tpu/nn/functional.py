@@ -34,16 +34,36 @@ HIGHEST = lax.Precision.HIGHEST
 _PRECISION = HIGHEST
 
 
+#: matmul precision tiers (TPU v5e, batch 2048, steady-state measurements):
+#:   faithful — fp32 (6-pass) matmuls; the golden-fidelity contract.
+#:              2.2 ms/chunk-step.
+#:   balanced — bf16_3x matmuls: 1.53 ms (+43%) at ~2e-6 max probability
+#:              deviation vs faithful — still far inside the reference's
+#:              1e-4 per-op tier.
+#:   fast     — single-pass bf16: 1.01 ms at ~5e-3 deviation
+#:              (decision-compatible with the 0.5/0.35 hysteresis).
+PRECISION_MODES = {
+    "faithful": lax.Precision.HIGHEST,
+    "balanced": lax.Precision.HIGH,
+    "fast": lax.Precision.DEFAULT,
+}
+
+
 @contextlib.contextmanager
-def fast_math():
-    """Trace enclosed model code with bf16 matmuls (fp32 accumulation)."""
+def precision_mode(mode: str):
+    """Trace enclosed model code at a named matmul-precision tier."""
     global _PRECISION
     prev = _PRECISION
-    _PRECISION = lax.Precision.DEFAULT
+    _PRECISION = PRECISION_MODES[mode]
     try:
         yield
     finally:
         _PRECISION = prev
+
+
+def fast_math():
+    """Trace enclosed model code with bf16 matmuls (fp32 accumulation)."""
+    return precision_mode("fast")
 
 # 7-tap smoothing filter of AdaptiveAudioNormalization. The reference embeds
 # these constants directly (reference misc.c:5-13); they come from the Silero

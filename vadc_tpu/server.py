@@ -48,6 +48,7 @@ class VadServer:
         max_streams: int = 64,
         model: str | None = None,
         fast: bool = False,
+        precision: str | None = None,
         sequence_count: int = 1536,
     ):
         import jax
@@ -67,7 +68,9 @@ class VadServer:
         self.family, params = load_params(resolve_weights_path(model))
         self.chunk = clamp_sequence_count(self.family, sequence_count)
         self.n = max_streams
-        self.runner = StreamRunner(self.family, params, fast_math=fast)
+        if precision is None:
+            precision = "fast" if fast else "faithful"
+        self.runner = StreamRunner(self.family, params, precision=precision)
         self.state = self.runner.init_state(self.n)
         self.cfg = SegmenterConfig.from_ms(chunk_samples=self.chunk)
         self.fsm = native.NativeFsm(
@@ -109,10 +112,10 @@ class VadServer:
                 zero_where_reset(state.c),
                 None if state.context is None else zero_where_reset(state.context),
             )
-            if fast:
+            if precision != "faithful":
                 from vadc_tpu.nn import functional as F
 
-                with F.fast_math():
+                with F.precision_mode(precision):
                     probs, new_state = step(params, batch, state)
             else:
                 probs, new_state = step(params, batch, state)
@@ -347,7 +350,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=7355)
     p.add_argument("--max_streams", type=int, default=64)
     p.add_argument("--model", default=None)
-    p.add_argument("--fast", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="shorthand for --precision fast")
+    p.add_argument("--precision", choices=("faithful", "balanced", "fast"),
+                   default=None)
     p.add_argument("--sequence_count", type=int, default=1536)
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="restore a server checkpoint; saved slots continue "
@@ -359,6 +365,7 @@ def main(argv: list[str] | None = None) -> int:
         max_streams=args.max_streams,
         model=args.model,
         fast=args.fast,
+        precision=args.precision,
         sequence_count=args.sequence_count,
     )
     if args.resume:
