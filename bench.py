@@ -10,11 +10,14 @@ config rides in the "configs" field.
 Measurement notes (see docs/PERFORMANCE.md):
   * Through the remote-device tunnel, block_until_ready returns early; host
     materialization (np.asarray) is the only reliable barrier, and each
-    materialization costs a ~25-40 ms round trip. Sustained throughput is
-    therefore measured as a STEADY-STATE difference between a long and a
-    short on-device scan — (t_long - t_short) / (T_long - T_short) — which
-    cancels the fixed tunnel cost exactly. Round 1's single-scan timing
-    under-reported throughput by ~1.5x for this reason.
+    materialization costs a ~25-40 ms round trip. Per-chunk cost is measured
+    as a long/short scan difference — (t_long - t_short) / (T_long -
+    T_short) — which cancels the fixed tunnel cost exactly.
+  * The chip must be under SUSTAINED load when timed: cold or bursty
+    timings run 10-40% slow and swing run-to-run (clock ramp), which round
+    1/early round 2 misread as both a too-slow headline and a phantom
+    layout win. Each config therefore warms with untimed long scans and
+    interleaves short/long timed pairs back-to-back, taking the best pair.
   * step() latency percentiles are wall-clock per call and therefore
     RTT-dominated through the tunnel (~30 ms); they are reported as the
     interactive-serving shape anyway, labeled accordingly. On a local chip
@@ -29,7 +32,7 @@ import time
 
 import numpy as np
 
-T_SHORT, T_LONG = 16, 80
+T_SHORT, T_LONG = 16, 336
 STEP_REPS = 30
 
 
@@ -37,19 +40,9 @@ def _materialize(x):
     return np.asarray(x)
 
 
-def _scan_time(runner, audio, batch, reps=3):
-    best = float("inf")
-    for _ in range(reps):
-        state = runner.init_state(batch)
-        t0 = time.perf_counter()
-        probs, state = runner.scan(audio, state)
-        _materialize(probs)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
-    """Steady-state seconds per chunk-step via long/short scan difference."""
+    """Sustained steady-state seconds per chunk-step via interleaved
+    long/short scan differences on a warmed chip."""
     import jax
     import jax.numpy as jnp
 
@@ -58,14 +51,25 @@ def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
     )(key)
     _materialize(audio_long[0, 0, :2])
     audio_short = audio_long[:, :T_SHORT]
-    # warmup/compile both lengths
+
+    def timed(audio):
+        state = runner.init_state(batch)
+        t0 = time.perf_counter()
+        probs, _ = runner.scan(audio, state)
+        _materialize(probs[:, -1])  # small slice: forces the scan, not a bulk copy
+        return time.perf_counter() - t0
+
+    # compile both lengths, then warm the chip with an untimed long scan
     for audio in (audio_short, audio_long):
         probs, _ = runner.scan(audio, runner.init_state(batch))
-        _materialize(probs)
-    t_short = _scan_time(runner, audio_short, batch, reps)
-    t_long = _scan_time(runner, audio_long, batch, reps)
-    per_chunk = (t_long - t_short) / (T_LONG - T_SHORT)
-    return max(per_chunk, 1e-9)
+        _materialize(probs[:, -1])
+    timed(audio_long)
+    best = float("inf")
+    for _ in range(reps):
+        t_short = timed(audio_short)
+        t_long = timed(audio_long)
+        best = min(best, (t_long - t_short) / (T_LONG - T_SHORT))
+    return max(best, 1e-9)
 
 
 def step_percentiles(runner, batch, chunk, key):

@@ -72,6 +72,53 @@ def test_transformer_layer_layouts(testdata, rng):
     assert_close(nlc, ncl.transpose(0, 2, 1), 1e-5, "transformer layer layouts")
 
 
+def test_transformer_layer_csb_layout(testdata, rng):
+    """Batch-minor [C, S, B] encoder stage == NLC stage (same math)."""
+    from vadc_tpu.io.testtensor import load_testtensor
+    from vadc_tpu.models.weights import transformer_layer_params
+
+    d = load_testtensor(testdata / "transformer_first_layer.testtensor")
+    p = transformer_layer_params(d)
+    x = jnp.asarray(d["input"])  # [B, C, S]
+    nlc = F.transformer_layer_nlc(x.transpose(0, 2, 1), p, stride=2)
+    csb = F.transformer_layer_csb(x.transpose(1, 2, 0), p, stride=2)
+    assert_close(csb.transpose(2, 1, 0), nlc, 1e-5, "csb encoder stage")
+
+
+def test_encode_csb_matches_nlc(testdata, rng):
+    """Full batch-minor encoder == NLC encoder on real v3.1 weights."""
+    from vadc_tpu.io.testtensor import load_testtensor
+    from vadc_tpu.models import silero_v31
+    from vadc_tpu.models.weights import silero_v31_params
+
+    params = silero_v31_params(
+        load_testtensor(testdata / "silero_v31_16k.testtensor")
+    )
+    audio = jnp.asarray(rng.normal(size=(4, 1536)).astype(np.float32) * 0.1)
+    nlc = silero_v31.encode_nlc(params, audio)  # [B, T, C]
+    csb = silero_v31.encode_csb(params, audio)  # [C, T, B]
+    assert_close(csb.transpose(2, 1, 0), nlc, 1e-5, "encode csb vs nlc")
+
+
+def test_forward_fast_uses_csb_and_matches(testdata, rng):
+    """StreamRunner fast tier (csb layout) matches faithful probabilities."""
+    from vadc_tpu.io.testtensor import load_testtensor
+    from vadc_tpu.engine.runner import StreamRunner
+    from vadc_tpu.models.weights import silero_v31_params
+
+    params = silero_v31_params(
+        load_testtensor(testdata / "silero_v31_16k.testtensor")
+    )
+    audio = jnp.asarray(rng.normal(size=(8, 3, 1536)).astype(np.float32) * 0.1)
+    ref = StreamRunner("v3", params, precision="faithful")
+    probs_ref, _ = ref.scan(audio, ref.init_state(8))
+    for tier in ("balanced", "fast", "turbo"):
+        r = StreamRunner("v3", params, precision=tier)
+        probs, _ = r.scan(audio, r.init_state(8))
+        dev = float(jnp.abs(probs - probs_ref).max())
+        assert dev < 2e-3, f"{tier} deviates {dev}"
+
+
 def test_decoders_layouts(rng):
     out = jnp.asarray(rng.normal(size=(3, 7, 64)).astype(np.float32))
     w3 = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32) * 0.2)

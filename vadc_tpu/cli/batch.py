@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true")
     p.add_argument("--fast", action="store_true",
                    help="shorthand for --precision fast")
-    p.add_argument("--precision", choices=("faithful", "balanced", "fast"),
+    p.add_argument("--precision", choices=("faithful", "balanced", "fast", "turbo"),
                    default=None,
                    help="matmul tier: faithful = fp32 fidelity contract "
                         "(default); balanced = bf16_3x, +43%% throughput at "

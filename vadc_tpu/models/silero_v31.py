@@ -79,6 +79,32 @@ def encode_nlc(params: dict, audio: jax.Array) -> jax.Array:
     return x
 
 
+def encode_csb(params: dict, audio: jax.Array) -> jax.Array:
+    """Batch-minor front-end: audio [B, S] -> features [64, T, B].
+
+    Layout experiment (kept runnable; NOT the production path): the NLC
+    encoder keeps channels (16-64) on the 128-wide lane dim, so every
+    activation tile is lane-padded; putting the stream batch minor instead
+    makes every encoder tensor dense. Under SUSTAINED load on a v5e chip
+    this measures 4% SLOWER than NLC (0.965 vs 0.928 ms/chunk-step at batch
+    2048) — XLA's padded-but-batch-major matmul lowering beats the dense
+    batch-minor einsums here; short-burst timings that favored this layout
+    were chip clock-ramp artifacts. See docs/PERFORMANCE.md."""
+    from vadc_tpu.tracing import zone
+
+    with zone("stft"):
+        spect = F.stft_magnitude_nlc(
+            audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
+        )
+    with zone("adaptive_norm"):
+        x = F.adaptive_audio_normalization_nlc(spect)
+    x = jnp.transpose(x, (2, 1, 0))  # [C, S, B] — one relayout in
+    for i, (layer_params, stride) in enumerate(zip(params["layers"], V3_STRIDES)):
+        with zone(f"encoder_layer_{i + 1}"):
+            x = F.transformer_layer_csb(x, layer_params, stride=stride)
+    return x
+
+
 def forward(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -33,32 +33,51 @@ HIGHEST = lax.Precision.HIGHEST
 # programs per mode (StreamRunner(fast_math=True) does).
 _PRECISION = HIGHEST
 
+# Module-wide activation-storage dtype for the encoder. fp32 by default; the
+# 'turbo' tier stores encoder activations (and encoder weights at the point
+# of use) in bfloat16, halving HBM traffic on a step that is bandwidth- and
+# op-count-bound, NOT FLOP-bound (docs/PERFORMANCE.md). Reductions that are
+# numerically delicate (softmax, layer-norm statistics) still accumulate in
+# fp32 inside their fusions; only what is READ and WRITTEN to HBM shrinks.
+_COMPUTE_DTYPE = jnp.float32
 
-#: matmul precision tiers (TPU v5e, batch 2048, steady-state measurements):
+
+#: matmul precision tiers (TPU v5e, batch 2048, sustained steady-state):
 #:   faithful — fp32 (6-pass) matmuls; the golden-fidelity contract.
-#:              2.2 ms/chunk-step.
-#:   balanced — bf16_3x matmuls: 1.53 ms (+43%) at ~2e-6 max probability
+#:              ~2.0 ms/chunk-step.
+#:   balanced — bf16_3x matmuls: ~1.3 ms at ~2e-6 max probability
 #:              deviation vs faithful — still far inside the reference's
 #:              1e-4 per-op tier.
-#:   fast     — single-pass bf16: 1.01 ms at ~5e-3 deviation
+#:   fast     — single-pass bf16: ~0.81 ms at ~5e-3 deviation
 #:              (decision-compatible with the 0.5/0.35 hysteresis).
+#:   turbo    — fast + bf16-RESIDENT encoder activations (the LSTM, decoder,
+#:              adaptive norm, and all recurrent state stay fp32). Measured
+#:              NEUTRAL vs fast on v5e (the step is lane-padding-bound, not
+#:              byte-bound; see docs/PERFORMANCE.md) — provided for
+#:              byte-bound hardware.
 PRECISION_MODES = {
-    "faithful": lax.Precision.HIGHEST,
-    "balanced": lax.Precision.HIGH,
-    "fast": lax.Precision.DEFAULT,
+    "faithful": (lax.Precision.HIGHEST, jnp.float32),
+    "balanced": (lax.Precision.HIGH, jnp.float32),
+    "fast": (lax.Precision.DEFAULT, jnp.float32),
+    "turbo": (lax.Precision.DEFAULT, jnp.bfloat16),
 }
 
 
 @contextlib.contextmanager
 def precision_mode(mode: str):
     """Trace enclosed model code at a named matmul-precision tier."""
-    global _PRECISION
-    prev = _PRECISION
-    _PRECISION = PRECISION_MODES[mode]
+    global _PRECISION, _COMPUTE_DTYPE
+    prev = (_PRECISION, _COMPUTE_DTYPE)
+    _PRECISION, _COMPUTE_DTYPE = PRECISION_MODES[mode]
     try:
         yield
     finally:
-        _PRECISION = prev
+        _PRECISION, _COMPUTE_DTYPE = prev
+
+
+def compute_dtype():
+    """Activation-storage dtype of the active precision tier."""
+    return _COMPUTE_DTYPE
 
 
 def fast_math():
@@ -87,9 +106,9 @@ def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
 
     Reference: tensor_linear, tensor.h:675-723.
     """
-    y = jnp.matmul(x, w.T, precision=_PRECISION)
+    y = jnp.matmul(x, w.astype(x.dtype).T, precision=_PRECISION)
     if b is not None:
-        y = y + b
+        y = y + b.astype(x.dtype)
     return y
 
 
@@ -286,10 +305,11 @@ def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
 
     Reference: layer_norm, misc.c:143-210.
     """
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xf = x.astype(jnp.float32)  # stats in fp32 (no-op outside turbo)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     inv = lax.rsqrt(var + LAYER_NORM_EPS)
-    return (x - mean) * inv * w + b
+    return ((xf - mean) * inv * w + b).astype(x.dtype)
 
 
 def batch_norm1d(
@@ -364,14 +384,19 @@ def attention(
         k = linear(x, k_w, qkv_b[dim + h * head_dim : dim + (h + 1) * head_dim])
         v = linear(x, v_w, qkv_b[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim])
         scores = jnp.einsum("bsd,btd->bst", k, q, precision=_PRECISION)
-        alpha = jax.nn.softmax(scores / scale, axis=-1)
+        # softmax statistics in fp32 even when activations are bf16-resident
+        # (turbo); both casts are no-ops in fast mode
+        alpha = jax.nn.softmax(
+            scores.astype(jnp.float32) / scale, axis=-1
+        ).astype(x.dtype)
         head_out = jnp.einsum("bst,btd->bsd", alpha, v, precision=_PRECISION)
         proj = jnp.matmul(
-            head_out, proj_w[:, h * head_dim : (h + 1) * head_dim].T,
+            head_out,
+            proj_w[:, h * head_dim : (h + 1) * head_dim].astype(x.dtype).T,
             precision=_PRECISION,
         )
         out = proj if out is None else out + proj
-    return out + proj_b
+    return out + proj_b.astype(out.dtype)
 
 
 def transformer_block(x: jax.Array, p: dict) -> jax.Array:
@@ -520,24 +545,29 @@ def stft_magnitude_nlc(
 
 
 def adaptive_audio_normalization_nlc(spect: jax.Array) -> jax.Array:
-    """Adaptive normalization over [B, F, C] (channels last)."""
+    """Adaptive normalization over [B, F, C] (channels last).
+
+    Computed in fp32 (log1p range ~[0, 18]); the RESULT is stored at the
+    active tier's compute dtype — this is where the turbo tier's bf16-resident
+    encoder begins."""
     spect_e = _log1p(spect * 1048576.0)
     mean = jnp.mean(spect_e, axis=-1)  # over channels -> [B, F]
     mean_padded = reflect_pad_last(mean, 3, 3)
     taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
     smoothed = _frame(mean_padded, 7, 1) @ taps  # [B, F]
     mean_mean = jnp.mean(smoothed, axis=-1)[:, None, None]
-    return spect_e - mean_mean
+    return (spect_e - mean_mean).astype(_COMPUTE_DTYPE)
 
 
 def depthwise_conv5_nlc(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """Depthwise k5 pad2 conv over [B, L, C]; w [C, 5]."""
+    w = w.astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0)))
     length = x.shape[1]
     y = xp[:, 0:length, :] * w[None, None, :, 0]
     for k in range(1, 5):
         y = y + xp[:, k : k + length, :] * w[None, None, :, k]
-    return y + b[None, None, :]
+    return y + b[None, None, :].astype(x.dtype)
 
 
 def conv_block_nlc(
@@ -579,7 +609,143 @@ def transformer_layer_nlc(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
     h = linear(h, p["conv_w"], p["conv_b"])
     if "bn_w" in p:  # absent when the exporter folded BN into the conv
         inv = lax.rsqrt(p["bn_var"] + BATCH_NORM_EPS)
-        h = (h - p["bn_mean"]) * inv * p["bn_w"] + p["bn_b"]
+        if h.dtype == jnp.float32:
+            h = (h - p["bn_mean"]) * inv * p["bn_w"] + p["bn_b"]
+        else:  # bf16-resident: pre-fold the affine in fp32, apply in bf16
+            scale = (inv * p["bn_w"]).astype(h.dtype)
+            shift = (p["bn_b"] - p["bn_mean"] * inv * p["bn_w"]).astype(h.dtype)
+            h = h * scale + shift
+    return jax.nn.relu(h)
+
+
+# ---------------------------------------------------------------------------
+# CSB (batch-minor, [channels, seq, batch]) encoder variants — a measured
+# layout EXPERIMENT, kept runnable but NOT the production path.
+#
+# Rationale tested: the NLC encoder keeps channels (16-64 in every Silero
+# stage) on the TPU lane dimension, so XLA pads every activation tile up to
+# 128 lanes; putting the STREAM BATCH minor instead (any multiple of 128
+# tiles exactly; the production batch is 2048) makes every encoder
+# activation dense. Verdict on a v5e chip at batch 2048 under SUSTAINED
+# load: 4% SLOWER than NLC (0.965 vs 0.928 ms/chunk-step) — XLA's
+# padded-but-batch-major matmul lowering beats the dense batch-minor
+# einsums; short-burst timings that favored this layout were clock-ramp
+# artifacts. Applying the layout to the STFT/norm front-end or LSTM/decoder
+# measured worse still. Same math, same op order as the NLC twins (einsum
+# orientation only) — parity-tested in test_layout_equivalence.py.
+# Full log: docs/PERFORMANCE.md.
+# ---------------------------------------------------------------------------
+
+
+def linear_csb(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """Channel linear over [C, S, B]; w [O, C] -> [O, S, B]."""
+    y = jnp.einsum("oc,csb->osb", w.astype(x.dtype), x, precision=_PRECISION)
+    if b is not None:
+        y = y + b.astype(x.dtype)[:, None, None]
+    return y
+
+
+def depthwise_conv5_csb(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Depthwise k5 pad2 conv over [C, S, B]; w [C, 5]."""
+    w = w.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0)))
+    length = x.shape[1]
+    y = xp[:, 0:length, :] * w[:, 0, None, None]
+    for k in range(1, 5):
+        y = y + xp[:, k : k + length, :] * w[:, k, None, None]
+    return y + b.astype(x.dtype)[:, None, None]
+
+
+def conv_block_csb(
+    x: jax.Array,
+    dw_w: jax.Array,
+    dw_b: jax.Array,
+    pw_w: jax.Array,
+    pw_b: jax.Array,
+    proj_w: jax.Array | None,
+    proj_b: jax.Array | None,
+) -> jax.Array:
+    """ConvBlock over [C, S, B] (reference conv.c:761-814)."""
+    h = jax.nn.relu(depthwise_conv5_csb(x, dw_w, dw_b))
+    h = linear_csb(h, pw_w, pw_b)
+    if proj_w is not None:
+        h = h + linear_csb(x, proj_w, proj_b)
+    else:
+        h = h + x
+    return jax.nn.relu(h)
+
+
+def layer_norm_csb(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """LayerNorm over the CHANNEL (leading) dim of [C, S, B]."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
+    inv = lax.rsqrt(var + LAYER_NORM_EPS)
+    return ((xf - mean) * inv * w[:, None, None] + b[:, None, None]).astype(x.dtype)
+
+
+def attention_csb(
+    x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: jax.Array,
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    *,
+    n_heads: int = 2,
+) -> jax.Array:
+    """Silero dual-head attention over [C, S, B] (k.q^T orientation preserved,
+    reference transformer.c:13-153). Row-split per-head projections as in the
+    NLC fast path; scores contract the head dim with batch riding the lanes."""
+    dim = x.shape[0]
+    head_dim = dim // n_heads
+    scale = jnp.sqrt(jnp.float32(head_dim))
+    out = None
+    for h in range(n_heads):
+        q = linear_csb(x, qkv_w[h * head_dim : (h + 1) * head_dim],
+                       qkv_b[h * head_dim : (h + 1) * head_dim])
+        k = linear_csb(x, qkv_w[dim + h * head_dim : dim + (h + 1) * head_dim],
+                       qkv_b[dim + h * head_dim : dim + (h + 1) * head_dim])
+        v = linear_csb(x, qkv_w[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim],
+                       qkv_b[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim])
+        scores = jnp.einsum("dsb,dtb->stb", k, q, precision=_PRECISION)
+        alpha = jax.nn.softmax(
+            scores.astype(jnp.float32) / scale, axis=1
+        ).astype(x.dtype)
+        head_out = jnp.einsum("stb,dtb->dsb", alpha, v, precision=_PRECISION)
+        proj = jnp.einsum(
+            "od,dsb->osb",
+            proj_w[:, h * head_dim : (h + 1) * head_dim].astype(x.dtype),
+            head_out,
+            precision=_PRECISION,
+        )
+        out = proj if out is None else out + proj
+    return out + proj_b.astype(out.dtype)[:, None, None]
+
+
+def transformer_block_csb(x: jax.Array, p: dict) -> jax.Array:
+    """Post-norm transformer block over [C, S, B]."""
+    h = x + attention_csb(x, p["qkv_w"], p["qkv_b"], p["att_proj_w"], p["att_proj_b"])
+    h = layer_norm_csb(h, p["norm1_w"], p["norm1_b"])
+    ff = linear_csb(jax.nn.relu(linear_csb(h, p["lin1_w"], p["lin1_b"])),
+                    p["lin2_w"], p["lin2_b"])
+    return layer_norm_csb(h + ff, p["norm2_w"], p["norm2_b"])
+
+
+def transformer_layer_csb(x: jax.Array, p: dict, *, stride: int) -> jax.Array:
+    """Encoder stage over [C, S, B]: ConvBlock -> TransformerBlock ->
+    strided 1x1 conv -> BatchNorm -> ReLU (reference transformer.c:237-295)."""
+    h = conv_block_csb(
+        x, p["dw_w"], p["dw_b"], p["pw_w"], p["pw_b"], p.get("proj_w"), p.get("proj_b")
+    )
+    h = transformer_block_csb(h, p)
+    if stride != 1:
+        h = h[:, ::stride, :]
+    h = linear_csb(h, p["conv_w"], p["conv_b"])
+    if "bn_w" in p:  # affine pre-folded in fp32, applied at activation dtype
+        inv = lax.rsqrt(p["bn_var"] + BATCH_NORM_EPS)
+        scale = (inv * p["bn_w"]).astype(h.dtype)
+        shift = (p["bn_b"] - p["bn_mean"] * inv * p["bn_w"]).astype(h.dtype)
+        h = h * scale[:, None, None] + shift[:, None, None]
     return jax.nn.relu(h)
 
 

@@ -352,7 +352,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--model", default=None)
     p.add_argument("--fast", action="store_true",
                    help="shorthand for --precision fast")
-    p.add_argument("--precision", choices=("faithful", "balanced", "fast"),
+    p.add_argument("--precision", choices=("faithful", "balanced", "fast", "turbo"),
                    default=None)
     p.add_argument("--sequence_count", type=int, default=1536)
     p.add_argument("--resume", default=None, metavar="CKPT",
