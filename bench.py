@@ -146,6 +146,7 @@ def main():
         ("faithful", dict(precision="faithful")),
         ("balanced", dict(precision="balanced")),
         ("fast", dict(precision="fast")),
+        ("turbo", dict(precision="turbo")),
         ("pallas", dict(precision="fast", use_pallas=True)),
     ):
         try:
@@ -167,7 +168,7 @@ def main():
         except Exception as e:  # pallas may be unavailable on some toolchains
             log(f"v3 {name}: skipped ({type(e).__name__}: {e})")
 
-    for mode in ("balanced", "fast", "pallas"):
+    for mode in ("balanced", "fast", "turbo", "pallas"):
         if mode in probs_by_mode:
             dev = float(np.abs(probs_by_mode[mode] - probs_by_mode["faithful"]).max())
             configs[f"v3_{mode}_vs_faithful_max_prob_dev"] = round(dev, 6)

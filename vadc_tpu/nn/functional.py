@@ -363,40 +363,36 @@ def attention(
         out = jnp.einsum("bhst,bhtd->bhsd", alpha, v, precision=_PRECISION)
         out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         return linear(out, proj_w, proj_b)
-    # bf16 fast path: per-head q/k/v come from ROW-SPLIT projections of the
-    # fused QKV weight rather than slicing a fused activation — the
-    # reshape+transpose (and even activation lane-slicing) forces XLA:TPU
-    # into minor-dim relayout copies (profiled at 15-52 us per copy per
-    # layer at batch 2048, more than the attention matmuls themselves).
-    # Head outputs merge through column slices of the projection weight, so
-    # no activation is ever re-laid-out. Full-model: 1.39 vs 1.47 ms.
-    # (A fully-folded bilinear form — scores = (x' M) x'^T with the biases
-    # in a ones column — was benchmarked at +110 us/step over this: the
-    # [B, S, D+1] intermediates relayout worse than the smaller head
-    # activations. See docs/PERFORMANCE.md.)
+    # Fast path: ONE fused QKV matmul, then the whole score/softmax/weighted-
+    # sum chain as broadcast-multiply-REDUCE fusions on the VPU — the head
+    # dim is only 8-32, far under the 128x128 MXU tile, so expressing
+    # scores = k.q^T and out = alpha.v as dots forces tiny padded matmul
+    # kernels AND materializes the lane-padded [B, S, S] score matrices in
+    # HBM between them. As elementwise reductions XLA fuses qkv-slicing,
+    # scores, softmax, and the weighted sum into a couple of fusions that
+    # never materialize the score tensor. Measured on a v5e at batch 2048
+    # (sustained, whole model): 547 us/chunk-step vs 784 us for the
+    # row-split per-head matmul formulation — a 1.43x whole-model win.
+    # Head layout: qkv columns are [q_h0|q_h1|k_h0|k_h1|v_h0|v_h1], so the
+    # [B, S, H, hd] reshape is exactly the per-head row-split of qkv_w, and
+    # flattening the head outputs back to [B, S, D] matches the projection
+    # weight's column order. Softmax statistics run in fp32 even when
+    # activations are bf16-resident (turbo); the casts are no-ops in fast
+    # mode. (Also measured, all SLOWER: VPU-reducing the pointwise/FF/conv
+    # linears — 2-6x worse, the crossover is attention-only; the bilinear
+    # folded form +110 us; 4-D batched-head dots +130 us. docs/PERFORMANCE.md.)
     scale = jnp.sqrt(jnp.float32(head_dim))
-    out = None
-    for h in range(n_heads):
-        q_w = qkv_w[h * head_dim : (h + 1) * head_dim]
-        k_w = qkv_w[dim + h * head_dim : dim + (h + 1) * head_dim]
-        v_w = qkv_w[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim]
-        q = linear(x, q_w, qkv_b[h * head_dim : (h + 1) * head_dim])
-        k = linear(x, k_w, qkv_b[dim + h * head_dim : dim + (h + 1) * head_dim])
-        v = linear(x, v_w, qkv_b[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim])
-        scores = jnp.einsum("bsd,btd->bst", k, q, precision=_PRECISION)
-        # softmax statistics in fp32 even when activations are bf16-resident
-        # (turbo); both casts are no-ops in fast mode
-        alpha = jax.nn.softmax(
-            scores.astype(jnp.float32) / scale, axis=-1
-        ).astype(x.dtype)
-        head_out = jnp.einsum("bst,btd->bsd", alpha, v, precision=_PRECISION)
-        proj = jnp.matmul(
-            head_out,
-            proj_w[:, h * head_dim : (h + 1) * head_dim].astype(x.dtype).T,
-            precision=_PRECISION,
-        )
-        out = proj if out is None else out + proj
-    return out + proj_b.astype(out.dtype)
+    qkv = linear(x, qkv_w, qkv_b)  # [B, S, 3D]
+    qh = qkv[..., 0 * dim : 1 * dim].reshape(bsz, seq, n_heads, head_dim)
+    kh = qkv[..., 1 * dim : 2 * dim].reshape(bsz, seq, n_heads, head_dim)
+    vh = qkv[..., 2 * dim : 3 * dim].reshape(bsz, seq, n_heads, head_dim)
+    # scores[b,s,t,h] = sum_d k[b,s,h,d] q[b,t,h,d]  (k-major, softmax over q)
+    scores = jnp.sum(kh[:, :, None] * qh[:, None], axis=-1)  # [B, S, T, H]
+    alpha = jax.nn.softmax(
+        scores.astype(jnp.float32) / scale, axis=2
+    ).astype(x.dtype)
+    head_out = jnp.sum(alpha[..., None] * vh[:, None], axis=2)  # [B, S, H, hd]
+    return linear(head_out.reshape(bsz, seq, dim), proj_w, proj_b)
 
 
 def transformer_block(x: jax.Array, p: dict) -> jax.Array:
