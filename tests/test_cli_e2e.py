@@ -50,6 +50,10 @@ def synthetic_pcm(tmp_path_factory) -> Path:
 
 def _run_cli(pcm: Path, *args: str) -> subprocess.CompletedProcess:
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # The suite's conftest exports an 8-virtual-device XLA_FLAGS for the
+    # sharding tests; inheriting it would make this single-stream subprocess
+    # allocate 8 CPU devices' worth of buffers (flaky under full-suite load).
+    env.pop("XLA_FLAGS", None)
     with open(pcm, "rb") as f:
         return subprocess.run(
             [sys.executable, "-m", "vadc_tpu.cli.main", *args],
