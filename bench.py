@@ -97,15 +97,6 @@ def step_percentiles(runner, batch, chunk, key):
     return round(p50, 3), round(p99, 3)
 
 
-def bench_family(family, params, *, batch, chunk, chunk_seconds, key, fast=True,
-                 use_pallas=False):
-    from vadc_tpu.engine.runner import StreamRunner
-
-    runner = StreamRunner(family, params, fast_math=fast, use_pallas=use_pallas)
-    per_chunk = steady_state_per_chunk(runner, batch, chunk, key)
-    return batch * chunk_seconds / per_chunk, per_chunk
-
-
 def _load_bundled(name):
     from pathlib import Path
 
@@ -200,9 +191,9 @@ def main():
     if v48 is not None:
         fams.append((v48_family, v48, 768, 768 / 8000.0, batch))
     try:
-        sys.path.insert(0, "tests")
-        from test_v5 import random_v5_archive
-        from test_v5_8k import random_v5_8k_archive
+        # NOTE: must not import tests/* here — tests.conftest switches jax to
+        # the CPU backend as an import side effect
+        from vadc_tpu.models.synthetic import random_v5_archive, random_v5_8k_archive
         from vadc_tpu.models.silero_v5 import silero_v5_params
 
         fams.append(
@@ -214,17 +205,21 @@ def main():
     except Exception as e:
         log(f"v5 synthetic weights unavailable: {e}")
     for family, params, chunk, cs, fam_batch in fams:
-        try:
-            streams, per_chunk = bench_family(
-                family, params, batch=fam_batch, chunk=chunk, chunk_seconds=cs,
-                key=next(keys),
-            )
-            configs[f"{family}_fast_streams_per_chip"] = round(streams, 1)
-            configs[f"{family}_fast_ms_per_chunk_step"] = round(per_chunk * 1e3, 4)
-            log(f"{family:6s} fast: {per_chunk*1e3:7.3f} ms/chunk-step -> "
-                f"{streams:10.0f} streams at realtime")
-        except Exception as e:
-            log(f"{family}: skipped ({type(e).__name__}: {e})")
+        for tier in ("fast", "turbo"):
+            try:
+                runner = StreamRunner(family, params, precision=tier)
+                per_chunk = steady_state_per_chunk(
+                    runner, fam_batch, chunk, next(keys)
+                )
+                streams = fam_batch * cs / per_chunk
+                configs[f"{family}_{tier}_streams_per_chip"] = round(streams, 1)
+                configs[f"{family}_{tier}_ms_per_chunk_step"] = round(
+                    per_chunk * 1e3, 4
+                )
+                log(f"{family:6s} {tier:5s}: {per_chunk*1e3:7.3f} ms/chunk-step"
+                    f" -> {streams:10.0f} streams at realtime")
+            except Exception as e:
+                log(f"{family} {tier}: skipped ({type(e).__name__}: {e})")
 
     # ---- 512-stream offline batch pass (model + segmentation) ----
     from vadc_tpu.cli.segmenter import SegmenterConfig

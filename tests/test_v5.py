@@ -12,26 +12,11 @@ import pytest
 
 from tests.conftest import assert_close
 from vadc_tpu.models import silero_v5
+from vadc_tpu.models.synthetic import random_v5_archive
 from vadc_tpu.models.weights import detect_model_family
 from vadc_tpu.io.testtensor import load_testtensor_bytes, save_testtensor_bytes
 
 
-def random_v5_archive(seed=0) -> dict:
-    rng = np.random.default_rng(seed)
-
-    def r(*shape, scale=0.3):
-        return (rng.normal(size=shape) * scale).astype(np.float32)
-
-    shapes = [(128, 129, 3), (64, 128, 3), (64, 64, 3), (128, 64, 3)]
-    archive = {"forward_basis_buffer": r(258, 1, 256, scale=0.1)}
-    for i, s in enumerate(shapes, 1):
-        archive[f"enc{i}.weight"] = r(*s)
-        archive[f"enc{i}.bias"] = r(s[0], scale=0.1)
-    archive["weights"] = r(1, 512, 256, scale=0.15)
-    archive["biases"] = r(1, 512, scale=0.1)
-    archive["decoder_weights"] = r(1, 128, 1)
-    archive["decoder_biases"] = r(1, scale=0.1)
-    return archive
 
 
 @pytest.fixture(scope="module")

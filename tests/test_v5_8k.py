@@ -16,29 +16,11 @@ import pytest
 
 from tests.conftest import assert_close
 from vadc_tpu.models import silero_v5
+from vadc_tpu.models.synthetic import random_v5_8k_archive
 from vadc_tpu.models.weights import detect_model_family
 from vadc_tpu.io.testtensor import load_testtensor_bytes, save_testtensor_bytes
 
 
-def random_v5_8k_archive(seed=1) -> dict:
-    rng = np.random.default_rng(seed)
-
-    def r(*shape, scale=0.3):
-        return (rng.normal(size=shape) * scale).astype(np.float32)
-
-    shapes = [(128, 65, 3), (64, 128, 3), (64, 64, 3), (128, 64, 3)]
-    archive = {
-        "forward_basis_buffer": r(130, 1, 128, scale=0.1),
-        "meta.sample_rate": np.asarray([8000.0], np.float32),
-    }
-    for i, s in enumerate(shapes, 1):
-        archive[f"enc{i}.weight"] = r(*s)
-        archive[f"enc{i}.bias"] = r(s[0], scale=0.1)
-    archive["weights"] = r(1, 512, 256, scale=0.15)
-    archive["biases"] = r(1, 512, scale=0.1)
-    archive["decoder_weights"] = r(1, 128, 1)
-    archive["decoder_biases"] = r(1, scale=0.1)
-    return archive
 
 
 @pytest.fixture(scope="module")
@@ -204,7 +186,8 @@ def test_v5_onnx_extraction_roundtrip(tmp_path):
     from vadc_tpu.export.silero_v5_from_onnx import extract_silero_v5
     from vadc_tpu.models.weights import load_params
 
-    a16 = {k: v for k, v in __import__("tests.test_v5", fromlist=["x"]).random_v5_archive(7).items()}
+    from vadc_tpu.models.synthetic import random_v5_archive
+    a16 = dict(random_v5_archive(7))
     a8 = random_v5_8k_archive(8)
     onnx_path = tmp_path / "silero_vad_v5.onnx"
     synthetic_v5_onnx(onnx_path, a16, a8)

@@ -50,7 +50,8 @@ def speech_probabilities(
     """Per-chunk speech probabilities for 16 kHz mono float32 samples.
 
     precision: 'faithful' (fp32 fidelity contract), 'balanced' (bf16_3x,
-    +43% throughput at ~2e-6 deviation), or 'fast' (bf16, ~2x at ~5e-3)."""
+    ~2e-5 deviation), 'fast' (bf16 matmuls, ~4e-4), or 'turbo' (fast +
+    bf16-resident encoder, ~4e-4). See docs/PERFORMANCE.md for throughput."""
     import jax.numpy as jnp
 
     runner, seq = _get_runner(model, sequence_count, precision)

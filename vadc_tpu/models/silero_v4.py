@@ -97,8 +97,10 @@ def encode(params: dict, audio: jax.Array, *, sample_rate: int = 16000) -> jax.A
     spect = F.stft_magnitude_nlc(
         audio, params["stft_basis"], pad_left=STFT_PAD, pad_right=STFT_PAD, hop=STFT_HOP
     )
-    normalized = F.adaptive_audio_normalization_nlc(spect)
-    x = jnp.concatenate([spect, normalized], axis=-1)  # [B, F, 258]
+    normalized = F.adaptive_audio_normalization_nlc(spect)  # compute dtype
+    x = jnp.concatenate(
+        [spect.astype(F.compute_dtype()), normalized], axis=-1
+    )  # [B, F, 258]
     strides = V4_STRIDES_16K if sample_rate == 16000 else V4_STRIDES_8K
     for stage_params, stride in zip(params["stages"], strides):
         x = conv_stage(x, stage_params, stride=stride)

@@ -78,6 +78,8 @@ def encode(
     x = F.stft_magnitude_nlc(
         audio, params["stft_basis"], pad_left=0, pad_right=pad_right, hop=hop
     )
+    # turbo tier: encoder activations bf16-resident (no-op otherwise)
+    x = x.astype(F.compute_dtype())
     for p, stride in zip(params["encoder"], ENCODER_STRIDES):
         x = jax.nn.relu(F.conv1d_nlc(x, p["w"], p["b"], stride=stride, padding=1))
     return x

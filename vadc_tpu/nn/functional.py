@@ -785,6 +785,7 @@ def conv1d_nlc(
     Expressed as K shifted strided matmuls (K <= 5 in every Silero variant),
     keeping the contraction on the MXU without layout changes."""
     k = w.shape[-1]
+    w = w.astype(x.dtype)
     if padding:
         x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
     length = x.shape[1]
@@ -795,7 +796,7 @@ def conv1d_nlc(
         term = jnp.matmul(xs, w[:, :, tap].T, precision=_PRECISION)
         y = term if y is None else y + term
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -808,7 +809,12 @@ def batch_norm1d_nlc(
 ) -> jax.Array:
     """Inference BatchNorm over the channel (last) dim of [B, L, C]."""
     inv = lax.rsqrt(running_var + BATCH_NORM_EPS)
-    return (x - running_mean) * inv * w + b
+    if x.dtype == jnp.float32:
+        return (x - running_mean) * inv * w + b
+    # bf16-resident: pre-fold the affine in fp32, apply at activation dtype
+    scale = (inv * w).astype(x.dtype)
+    shift = (b - running_mean * inv * w).astype(x.dtype)
+    return x * scale + shift
 
 
 def decoder_v5_nlc(out: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
