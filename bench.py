@@ -40,17 +40,16 @@ def _materialize(x):
     return np.asarray(x)
 
 
-def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
-    """Sustained steady-state seconds per chunk-step via interleaved
-    long/short scan differences on a warmed chip."""
+def _steady_state_once(runner, batch, chunk, key, t_short_len, t_long_len, reps):
     import jax
     import jax.numpy as jnp
 
     audio_long = jax.jit(
-        lambda k: jax.random.normal(k, (batch, T_LONG, chunk), jnp.float32) * 0.1
+        lambda k: jax.random.normal(k, (batch, t_long_len, chunk), jnp.float32)
+        * 0.1
     )(key)
     _materialize(audio_long[0, 0, :2])
-    audio_short = audio_long[:, :T_SHORT]
+    audio_short = audio_long[:, :t_short_len]
 
     def timed(audio):
         state = runner.init_state(batch)
@@ -68,8 +67,25 @@ def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
     for _ in range(reps):
         t_short = timed(audio_short)
         t_long = timed(audio_long)
-        best = min(best, (t_long - t_short) / (T_LONG - T_SHORT))
-    return max(best, 1e-9)
+        best = min(best, (t_long - t_short) / (t_long_len - t_short_len))
+    return best
+
+
+def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
+    """Sustained steady-state seconds per chunk-step via interleaved
+    long/short scan differences on a warmed chip. Very fast configs are
+    re-measured with proportionally longer scans: the difference must carry
+    well over the ~ms-level tunnel-RTT jitter, or the result is noise
+    (observed as a ~0 or even negative per-chunk time)."""
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    per = _steady_state_once(runner, batch, chunk, k1, T_SHORT, T_LONG, reps)
+    if per * (T_LONG - T_SHORT) < 0.02:  # under 20 ms of signal
+        per = _steady_state_once(
+            runner, batch, chunk, k2, 4 * T_SHORT, 4 * T_LONG, reps
+        )
+    return max(per, 1e-9)
 
 
 def step_percentiles(runner, batch, chunk, key):

@@ -9,6 +9,9 @@ Flag surface matches the reference exactly (option table vadc.c:1110-1124):
          [--raw_probabilities] [--stats] [--output_centi_seconds]
          [--model PATH]
 
+plus one extension flag: [--precision faithful|balanced|fast|turbo]
+(default faithful — the reference-fidelity tier).
+
 Output discipline: stdout carries only data (segments or raw probabilities);
 everything else goes to stderr (reference README contract)."""
 
@@ -78,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default=None,
                    help="path to a .testtensor weight archive "
                         "(default: bundled Silero v3.1 16k)")
+    # Extension beyond the reference's 13-flag surface (all 13 keep their
+    # exact reference semantics): matmul-precision tier selection, same as
+    # the batch CLI and serving daemon.
+    p.add_argument("--precision",
+                   choices=("faithful", "balanced", "fast", "turbo"),
+                   default="faithful",
+                   help="matmul precision tier (default faithful = the "
+                        "golden-fidelity contract; see docs/PERFORMANCE.md)")
     return p
 
 
@@ -146,7 +157,8 @@ def _main(argv: list[str] | None = None) -> int:
     print(f"Running with sequence count {seq}", file=sys.stderr)
 
     runner = MinibatchRunner(
-        family, params, batch_size=int(args.batch), chunk_samples=seq
+        family, params, batch_size=int(args.batch), chunk_samples=seq,
+        precision=args.precision,
     )
     # 8 kHz branch families time chunks (and decode input) at their own rate
     model_sr = getattr(runner.module, "SAMPLE_RATE", SAMPLE_RATE)
