@@ -53,7 +53,7 @@ def test_resume_continues_identically(v31_params, tmp_path):
 
 
 def test_v5_context_roundtrip():
-    from tests.test_v5 import random_v5_archive
+    from vadc_tpu.models.synthetic import random_v5_archive
     from vadc_tpu.models.silero_v5 import silero_v5_params
 
     params = silero_v5_params(random_v5_archive())

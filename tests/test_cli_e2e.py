@@ -60,7 +60,7 @@ def _run_cli(pcm: Path, *args: str) -> subprocess.CompletedProcess:
             stdin=f,
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=1500,  # headroom for first-run jit compile on a cold cache
             env=env,
             cwd=Path(__file__).parent.parent,
         )

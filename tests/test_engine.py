@@ -147,7 +147,7 @@ def test_tblock_scan_matches_plain_scan(v31_params, family):
     if family == "v3":
         params, chunk = v31_params, 1536
     else:
-        from tests.test_v5 import random_v5_archive
+        from vadc_tpu.models.synthetic import random_v5_archive
         from vadc_tpu.models.silero_v5 import silero_v5_params
 
         params, chunk = silero_v5_params(random_v5_archive()), 512

@@ -100,8 +100,10 @@ def test_encode_csb_matches_nlc(testdata, rng):
     assert_close(csb.transpose(2, 1, 0), nlc, 1e-5, "encode csb vs nlc")
 
 
-def test_forward_fast_uses_csb_and_matches(testdata, rng):
-    """StreamRunner fast tier (csb layout) matches faithful probabilities."""
+def test_precision_tiers_match_faithful(testdata, rng):
+    """Every non-faithful tier's probabilities stay decision-compatible
+    with the faithful tier (all tiers run the NLC production layout; the
+    CSB layout above is an experiment, not a production path)."""
     from vadc_tpu.io.testtensor import load_testtensor
     from vadc_tpu.engine.runner import StreamRunner
     from vadc_tpu.models.weights import silero_v31_params

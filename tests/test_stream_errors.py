@@ -160,7 +160,7 @@ def test_cli_8k_family_times_at_model_rate(monkeypatch, capsys, tmp_path):
 
     import numpy as np
 
-    from tests.test_v5_8k import random_v5_8k_archive
+    from vadc_tpu.models.synthetic import random_v5_8k_archive
     from vadc_tpu.cli import main as cli_main
     from vadc_tpu.io.testtensor import save_testtensor
 

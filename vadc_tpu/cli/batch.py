@@ -44,9 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=("faithful", "balanced", "fast", "turbo"),
                    default=None,
                    help="matmul tier: faithful = fp32 fidelity contract "
-                        "(default); balanced = bf16_3x, +43%% throughput at "
-                        "~2e-6 probability deviation; fast = bf16, ~2x at "
-                        "~5e-3 (decision-compatible)")
+                        "(default); balanced = bf16_3x matmuls (~2e-5 max "
+                        "probability deviation); fast = bf16 (~4e-4, "
+                        "decision-compatible); turbo = fast + bf16-resident "
+                        "encoder (~4e-4). Throughput: docs/PERFORMANCE.md")
     return p
 
 

@@ -77,10 +77,12 @@ class StreamRunner:
 
     precision selects the matmul tier (functional.PRECISION_MODES):
       * 'faithful' (default) — full-fp32, the golden-fidelity contract;
-      * 'balanced' — bf16_3x, +43% throughput at ~2e-6 probability
-        deviation (still far inside the 1e-4 per-op tier);
-      * 'fast' — single-pass bf16, ~2x throughput at ~5e-3 deviation
-        (decision-compatible with the CLI hysteresis).
+      * 'balanced' — bf16_3x matmuls, ~2e-5 max probability deviation
+        (still inside the 1e-4 per-op tier);
+      * 'fast' — single-pass bf16, ~4e-4 deviation (decision-compatible
+        with the CLI hysteresis);
+      * 'turbo' — fast + bf16-resident encoder activations, ~4e-4.
+    Measured throughput per tier: docs/PERFORMANCE.md headline table.
     fast_math=True is shorthand for precision='fast'."""
 
     def __init__(

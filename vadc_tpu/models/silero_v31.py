@@ -131,11 +131,16 @@ def forward_pallas(
     match `forward` within fp32 accumulation order (probs ~1e-7).
 
     Inherits bf16 fast-math from the active functional.fast_math() trace
-    context (the runner's fast_math flag)."""
+    context (the runner's fast_math flag). The kernel is written for fp32
+    activations, so the turbo tier's bf16-resident compute dtype is
+    narrowed back to the fast tier here (same DEFAULT matmul precision)."""
     from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
     from vadc_tpu.nn import functional as F
 
     fast = F._PRECISION != F.HIGHEST
+    if F.compute_dtype() != jnp.float32:
+        with F.precision_mode("fast"):
+            return forward_fused2d(params, audio, h, c, fast=True)
     return forward_fused2d(params, audio, h, c, fast=fast)
 
 

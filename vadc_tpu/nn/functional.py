@@ -42,19 +42,19 @@ _PRECISION = HIGHEST
 _COMPUTE_DTYPE = jnp.float32
 
 
-#: matmul precision tiers (TPU v5e, batch 2048, sustained steady-state):
+#: matmul precision tiers (TPU v5e, batch 2048, sustained steady-state —
+#: current measurements in docs/PERFORMANCE.md's headline table):
 #:   faithful — fp32 (6-pass) matmuls; the golden-fidelity contract.
 #:              ~2.0 ms/chunk-step.
-#:   balanced — bf16_3x matmuls: ~1.3 ms at ~2e-6 max probability
-#:              deviation vs faithful — still far inside the reference's
+#:   balanced — bf16_3x matmuls: ~0.83 ms at ~2e-5 max probability
+#:              deviation vs faithful — still inside the reference's
 #:              1e-4 per-op tier.
-#:   fast     — single-pass bf16: ~0.81 ms at ~5e-3 deviation
+#:   fast     — single-pass bf16: ~0.5 ms at ~4e-4 deviation
 #:              (decision-compatible with the 0.5/0.35 hysteresis).
 #:   turbo    — fast + bf16-RESIDENT encoder activations (the LSTM, decoder,
-#:              adaptive norm, and all recurrent state stay fp32). Measured
-#:              NEUTRAL vs fast on v5e (the step is lane-padding-bound, not
-#:              byte-bound; see docs/PERFORMANCE.md) — provided for
-#:              byte-bound hardware.
+#:              adaptive norm, and all recurrent state stay fp32). Trades
+#:              places with fast on v3 (narrow channels) within chip
+#:              variance; a 50-60% win on v4/v5's wide-channel encoders.
 PRECISION_MODES = {
     "faithful": (lax.Precision.HIGHEST, jnp.float32),
     "balanced": (lax.Precision.HIGH, jnp.float32),
@@ -143,8 +143,8 @@ def stft_magnitude(
     n_filters, n_fft = basis.shape
     cutoff = n_fft // 2 + 1
     if _PRECISION == lax.Precision.DEFAULT:
-        # see stft_magnitude_nlc: numerically identical under DEFAULT
-        # precision, halves the frame-gather traffic
+        # see stft_magnitude_nlc: identical on TPU (MXU rounds DEFAULT
+        # operands to bf16 anyway), halves the framing traffic
         audio = audio.astype(jnp.bfloat16)
         basis = basis.astype(jnp.bfloat16)
     padded = reflect_pad_last(audio, pad_left, pad_right)
@@ -536,13 +536,17 @@ def stft_magnitude_nlc(
     n_filters, n_fft = basis.shape
     cutoff = n_fft // 2 + 1
     if _PRECISION == lax.Precision.DEFAULT:
-        # DEFAULT-precision matmuls round their operands to bf16 on the MXU
-        # anyway, so casting the audio BEFORE pad/frame is numerically
-        # IDENTICAL (measured bit-equal probabilities) and halves the frame
-        # gather's HBM traffic: -21 us/chunk-step at batch 2048. The
-        # spectrum itself stays fp32 (preferred_element_type) — a bf16
-        # spectrum measured SLOWER (downstream fp32 magnitude upcasts).
-        # Not applied to 'balanced': bf16_3x needs fp32 operands to split.
+        # On TPU, DEFAULT-precision matmuls round their operands to bf16 on
+        # the MXU anyway, so casting the audio BEFORE pad/frame is
+        # numerically IDENTICAL there (measured bit-equal probabilities) and
+        # halves the framing's HBM traffic: -21 us/chunk-step at batch 2048.
+        # On backends whose DEFAULT matmul is full fp32 (CPU) this cast DOES
+        # introduce bf16 input rounding — accepted: it keeps fast-tier
+        # numerics identical across backends and sits well inside the tier's
+        # documented ~4e-4 deviation. The spectrum itself stays fp32
+        # (preferred_element_type) — a bf16 spectrum measured SLOWER
+        # (downstream fp32 magnitude upcasts). Not applied to 'balanced':
+        # bf16_3x needs fp32 operands to split into hi/lo terms.
         audio = audio.astype(jnp.bfloat16)
         basis = basis.astype(jnp.bfloat16)
     padded = reflect_pad_last(audio, pad_left, pad_right)
