@@ -1,11 +1,20 @@
-"""Per-stage device timing of the Silero v3.1 pipeline.
+"""Per-stage device timing of the Silero v3.1 pipeline — prefix-scan method.
 
-Runs each pipeline stage N times inside one jitted fori_loop (input is
-perturbed by the loop index so XLA cannot hoist the stage out of the loop)
-and divides by N — this amortizes the device-tunnel round trip that makes
-naive per-call timing useless in this environment.
+Times PREFIX pipelines (stft; +norm; +layer1; ...; +decoder), each as a
+sustained long/short scan difference, and reports per-stage cost as the
+difference between consecutive prefixes. This is the only per-stage method
+that holds up in this environment: timing a stage in isolation (a fori_loop
+around one op, this tool's previous approach) pays un-amortized boundary
+costs and runs in the chip's bursty-clock regime — its per-stage numbers
+summed to 3x the real full-forward time. Prefix differences run every
+measurement inside the same sustained whole-pipeline regime as production.
+See docs/PERFORMANCE.md "Where the step actually goes".
 
-Usage: python tools/bench_stages.py [batch]
+Cheap prefixes (stft alone is ~0.1 ms/chunk) sit near the tunnel-RTT
+jitter floor, so the first row or two can read low/negative; the deeper
+cumulative numbers and the full-pipeline total are the reliable figures.
+
+Usage: python tools/bench_stages.py [batch] [precision]
 """
 
 import sys
@@ -15,6 +24,8 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+T_SHORT, T_LONG = 16, 336
 
 
 def main():
@@ -30,69 +41,80 @@ def main():
 
     enable_persistent_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    iters = 30
+    precision = sys.argv[2] if len(sys.argv) > 2 else "fast"
     params = _load_v31_params()
-    rng = np.random.default_rng(0)
 
-    def timed(name, fn, *args):
-        """Apply fn iters times in one jit; report per-iteration µs."""
+    def prefix_scan(depth):
+        """depth: 1=stft, 2=+norm, 3..6=+layer1..4, 7=+lstm, 8=+decoder."""
 
-        def body(i, carry):
-            x, acc = carry
-            out = fn(x * (1.0 + 1e-12 * i), *args)
-            return x, acc + jnp.sum(out) * 1e-30
+        def fwd(p, audio, h, c):
+            with F.precision_mode(precision):
+                x = F.stft_magnitude_nlc(
+                    audio, p["stft_basis"], pad_left=128, pad_right=128, hop=64
+                )
+                if depth >= 2:
+                    x = F.adaptive_audio_normalization_nlc(x)
+                n_layers = min(depth - 2, 4) if depth > 2 else 0
+                for i in range(n_layers):
+                    x = F.transformer_layer_nlc(
+                        x, p["layers"][i], stride=V3_STRIDES[i]
+                    )
+                if depth >= 7:
+                    x, h, c = F.lstm(x, h, c, p["lstm_w"], p["lstm_b"])
+                if depth >= 8:
+                    return F.decoder_v3_nlc(x, p["dec_w"], p["dec_b"]), h, c
+                return jnp.mean(x, axis=tuple(range(1, x.ndim))), h, c
 
-        @jax.jit
-        def run(x):
-            _, acc = lax.fori_loop(0, iters, body, (x, jnp.float32(0)))
-            return acc
+        def scan_impl(chunks, state):
+            def body(st, ct):
+                val, hn, cn = fwd(params, ct, st[0], st[1])
+                return (hn, cn), val
 
-        x0 = args_input[name]
-        run(x0)  # compile
-        np.asarray(run(x0))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(run(x0))
-            best = min(best, time.perf_counter() - t0)
-        per = best / iters
-        print(f"{name:24s} {per*1e6:10.1f} us/iter")
-        return per
+            fs, vals = lax.scan(body, state, chunks.transpose(1, 0, 2))
+            return vals.transpose(1, 0), fs
 
-    audio = jnp.asarray(rng.normal(size=(batch, 1536)).astype(np.float32) * 0.1)
-    spect = F.stft_magnitude(audio, params["stft_basis"], pad_left=128, pad_right=128, hop=64)
-    x = F.adaptive_audio_normalization(spect)
-    feats = [x]
-    for lp, s in zip(params["layers"], V3_STRIDES):
-        feats.append(F.transformer_layer(feats[-1], lp, stride=s))
-    enc_out = feats[-1]
-    lstm_in = enc_out.transpose(0, 2, 1)
+        return jax.jit(scan_impl)
 
-    args_input = {
-        "stft": audio,
-        "adaptive_norm": spect,
-        "layer1 (129->16,/2)": feats[0],
-        "layer2 (16->32,/2)": feats[1],
-        "layer3 (32->32)": feats[2],
-        "layer4 (32->64)": feats[3],
-        "lstm (7 steps)": lstm_in,
-        "decoder": enc_out,
-        "FULL forward": audio,
-    }
+    audio_long = (
+        jax.random.normal(jax.random.key(0), (batch, T_LONG, 1536), jnp.float32)
+        * 0.1
+    ).block_until_ready()
+    audio_short = audio_long[:, :T_SHORT]
+    state = silero_v31.init_state(batch)
+    names = [
+        "stft", "+adaptive_norm", "+layer1", "+layer2", "+layer3", "+layer4",
+        "+lstm", "+decoder (full)",
+    ]
+    scans = []
+    for d in range(1, 9):
+        s = prefix_scan(d)
+        for a in (audio_short, audio_long):
+            v, _ = s(a, state)
+            np.asarray(v[:, -1])
+        scans.append(s)
+        print(f"compiled prefix depth {d}", file=sys.stderr, flush=True)
 
-    h, c = silero_v31.init_state(batch)
-    total = 0.0
-    total += timed("stft", lambda a: F.stft_magnitude(
-        a, params["stft_basis"], pad_left=128, pad_right=128, hop=64))
-    total += timed("adaptive_norm", F.adaptive_audio_normalization)
-    for i, (lp, s) in enumerate(zip(params["layers"], V3_STRIDES)):
-        name = list(args_input)[2 + i]
-        total += timed(name, lambda xx, lp=lp, s=s: F.transformer_layer(xx, lp, stride=s))
-    total += timed("lstm (7 steps)", lambda xx: F.lstm(
-        xx, h, c, params["lstm_w"], params["lstm_b"])[0])
-    total += timed("decoder", lambda xx: F.decoder_v3(xx, params["dec_w"], params["dec_b"]))
-    print(f"{'sum of stages':24s} {total*1e6:10.1f} us")
-    timed("FULL forward", lambda a: silero_v31.forward(params, a, h, c)[0])
+    costs = [float("inf")] * 8
+    for _ in range(3):
+        for i, s in enumerate(scans):
+            t1 = time.perf_counter()
+            v, _ = s(audio_short, state)
+            np.asarray(v[:, -1])
+            ts = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            v, _ = s(audio_long, state)
+            np.asarray(v[:, -1])
+            tl = time.perf_counter() - t1
+            costs[i] = min(costs[i], (tl - ts) / (T_LONG - T_SHORT))
+
+    print(f"batch {batch}, precision {precision}:")
+    prev = 0.0
+    for name, c in zip(names, costs):
+        print(
+            f"{name:16s} cumulative {c*1e6:7.1f} us   stage "
+            f"{max(c - prev, 0.0)*1e6:7.1f} us"
+        )
+        prev = c
 
 
 if __name__ == "__main__":
