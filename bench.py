@@ -198,10 +198,12 @@ def main():
     configs["v3_single_stream_rtf"] = round(rtf, 1)
     log(f"v3 single-stream RTF (faithful, steady-state): {rtf:.1f}x")
 
-    # ---- other model families (fast mode) ----
-    # v4 16k runs at batch 1024: its longer padded STFT frame gather blows
-    # the scoped-VMEM limit at 2048 (measured; throughput reported per chip
-    # at the batch that fits)
+    # ---- other model families (fast + turbo tiers) ----
+    # v4 16k runs at batch 1024: its 258-channel concat blows the remote
+    # compiler at 2048 on the fp32-resident tiers. (The bf16-resident turbo
+    # tier DOES compile at 2048 and measures ~equal per-chip throughput —
+    # 784k vs 748-816k streams — so the 1024 point stays for tier
+    # comparability.)
     fams = []
     v4_family, v4 = _load_bundled("silero_v4_16k.testtensor")
     if v4 is not None:
