@@ -121,6 +121,48 @@ def test_precision_tiers_match_faithful(testdata, rng):
         assert dev < 2e-3, f"{tier} deviates {dev}"
 
 
+def test_attention_fast_path_matches_highest(rng):
+    """The fast path's fused-QKV broadcast-reduce attention == the HIGHEST
+    path's batched-head matmul attention (same math, k.q^T orientation and
+    head/projection layout preserved) at every Silero channel width."""
+    for dim in (16, 32, 64):
+        x = jnp.asarray(rng.normal(size=(3, 25, dim)).astype(np.float32) * 0.5)
+        qkv_w = jnp.asarray(rng.normal(size=(3 * dim, dim)).astype(np.float32) * 0.3)
+        qkv_b = jnp.asarray(rng.normal(size=(3 * dim,)).astype(np.float32) * 0.1)
+        proj_w = jnp.asarray(rng.normal(size=(dim, dim)).astype(np.float32) * 0.3)
+        proj_b = jnp.asarray(rng.normal(size=(dim,)).astype(np.float32) * 0.1)
+        ref = F.attention(x, qkv_w, qkv_b, proj_w, proj_b)
+        with F.precision_mode("fast"):
+            fast = F.attention(x, qkv_w, qkv_b, proj_w, proj_b)
+        assert_close(fast, ref, 1e-3, f"attention fast path dim {dim}")
+
+
+def test_block_framing_matches_numpy_stft(testdata, rng):
+    """The gather-free block framing == an independent numpy STFT (stride-
+    tricks framing + matmul + magnitude) on the real Fourier basis."""
+    from vadc_tpu.io.testtensor import load_testtensor
+
+    basis = np.asarray(
+        load_testtensor(testdata / "silero_v31_16k.testtensor")[
+            "forward_basis_buffer"
+        ][:, 0, :]
+    )
+    audio = rng.normal(size=(2, 1536)).astype(np.float32) * 0.1
+    padded = np.pad(audio, ((0, 0), (128, 128)), mode="reflect")
+    n_fft, hop = 256, 64
+    n_frames = (padded.shape[1] - n_fft) // hop + 1
+    frames = np.stack(
+        [padded[:, f * hop : f * hop + n_fft] for f in range(n_frames)], axis=1
+    )
+    spec = frames @ basis.T  # [B, F, 258]
+    cutoff = n_fft // 2 + 1
+    ref = np.sqrt(spec[:, :, :cutoff] ** 2 + spec[:, :, cutoff:] ** 2)
+    out = F.stft_magnitude_nlc(
+        jnp.asarray(audio), jnp.asarray(basis), pad_left=128, pad_right=128, hop=hop
+    )
+    assert_close(out, ref, 1e-4, "block framing vs numpy STFT")
+
+
 def test_decoders_layouts(rng):
     out = jnp.asarray(rng.normal(size=(3, 7, 64)).astype(np.float32))
     w3 = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32) * 0.2)
