@@ -4,8 +4,11 @@ dry-runs the real multi-chip path separately via __graft_entry__)."""
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends. Unconditional: the outer
+# environment may carry JAX_PLATFORMS=<remote-plugin>, and runtime helpers
+# re-apply the env var via honor_jax_platforms_env() — the suite must pin
+# both the env var and the config to local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

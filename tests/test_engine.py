@@ -170,6 +170,7 @@ def test_tblock_scan_matches_plain_scan(v31_params, family):
     assert_close(p_odd, p_ref, 1e-6, f"{family} odd-T fallback")
 
 
+@pytest.mark.slow
 def test_multihost_dryrun():
     """2 simulated host processes x 4 virtual CPU devices: jax.distributed
     init, global mesh, per-process feeding (engine/distributed.py)."""
