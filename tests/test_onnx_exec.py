@@ -1,0 +1,169 @@
+"""Behavior-level ONNX parity: execute the official graphs, compare outputs.
+
+The round-2 gap this closes: weight-extraction tests prove the *tensors*
+round-trip, but only executing the actual official graph proves the JAX
+forward computes the same *function*. The numpy executor (onnx_exec)
+interprets standard ONNX op semantics independently of the JAX code, so
+these tests play the role the reference's ORT backend plays as an oracle
+(onnx_helpers.c:532-549), with probabilities compared at <=1e-5.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.conftest import assert_close
+
+V3_ONNX = "/root/reference/silero_vad_v3.onnx"
+V4_ONNX = "/root/reference/silero_vad_v4.onnx"
+
+
+def _exists(path):
+    from pathlib import Path
+
+    if not Path(path).exists():
+        pytest.skip(f"{path} not available")
+    return path
+
+
+def test_executor_lstm_matches_torch():
+    """Pin the ONNX LSTM op (i,o,f,c gate order, B = Wb|Rb) against
+    torch.nn.LSTM independently of any Silero graph."""
+    import torch
+
+    from vadc_tpu.export.onnx_exec import OnnxExecutor, _lstm
+    from vadc_tpu.export.onnx_extract import OnnxNode
+
+    rng = np.random.default_rng(0)
+    hidden, inp, seq, batch = 16, 8, 5, 3
+    m = torch.nn.LSTM(inp, hidden, num_layers=1, batch_first=False)
+    with torch.no_grad():
+        x = torch.from_numpy(rng.normal(size=(seq, batch, inp)).astype(np.float32))
+        h0 = torch.zeros(1, batch, hidden)
+        c0 = torch.zeros(1, batch, hidden)
+        y_ref, (hn_ref, cn_ref) = m(x, (h0, c0))
+
+    # torch gate order i,f,g,o -> ONNX i,o,f,c
+    def reorder(mat):
+        i, f, g, o = np.split(mat, 4, axis=0)
+        return np.concatenate([i, o, f, g], axis=0)
+
+    W = reorder(m.weight_ih_l0.detach().numpy())[None]
+    R = reorder(m.weight_hh_l0.detach().numpy())[None]
+    B = np.concatenate(
+        [reorder(m.bias_ih_l0.detach().numpy()[:, None])[:, 0],
+         reorder(m.bias_hh_l0.detach().numpy()[:, None])[:, 0]]
+    )[None]
+    node = OnnxNode()
+    node.op_type = "LSTM"
+    node.attrs = {"hidden_size": hidden}
+    node.outputs = ["Y", "Yh", "Yc"]
+    y, hn, cn = _lstm(node, [x.numpy(), W, R, B, None, h0.numpy(), c0.numpy()])
+    assert_close(y[:, 0], y_ref.numpy(), 1e-6, "LSTM Y")
+    assert_close(hn, hn_ref.numpy(), 1e-6, "LSTM Yh")
+    assert_close(cn, cn_ref.numpy(), 1e-6, "LSTM Yc")
+
+
+def test_v3_graph_behavior_parity():
+    """Execute the real official v3 graph on random audio, thread LSTM state
+    across two consecutive chunks, and compare every probability."""
+    from vadc_tpu.export.onnx_exec import run_silero_onnx
+    from vadc_tpu.models import silero_v31
+    from vadc_tpu.models.weights import load_params
+
+    path = _exists(V3_ONNX)
+    family, params = load_params(path)
+    assert family == "v3"
+    rng = np.random.default_rng(0)
+    h = np.zeros((2, 2, 64), np.float32)
+    c = np.zeros((2, 2, 64), np.float32)
+    hj = jnp.asarray(h)
+    cj = jnp.asarray(c)
+    for step in range(2):
+        audio = (0.1 * rng.normal(size=(2, 1536))).astype(np.float32)
+        out, h, c = run_silero_onnx(path, audio, state=(h, c))
+        p, hj, cj = silero_v31.forward(params, jnp.asarray(audio), hj, cj)
+        # v3 output is [B, 2, 1]; probability at index 1 (vadc.c:704-713)
+        assert_close(np.asarray(p).ravel(), out[:, 1, 0], 1e-5, f"v3 prob step {step}")
+
+
+@pytest.mark.parametrize("sr,seq", [(16000, 1536), (8000, 768)])
+def test_v4_graph_behavior_parity(sr, seq):
+    """Execute the real official fused v4 graph (both If branches on the
+    scalar sr input, onnx_helpers.c:314-357) and compare probabilities."""
+    import vadc_tpu.models.silero_v4 as m
+    from vadc_tpu.export.onnx_exec import run_silero_onnx
+    from vadc_tpu.export.silero_v4_from_onnx import extract_silero_v4
+    from vadc_tpu.models.weights import load_params_from_tensors
+
+    path = _exists(V4_ONNX)
+    fam, params = load_params_from_tensors(extract_silero_v4(path, sample_rate=sr))
+    fwd = m.forward if fam == "v4" else m.v4_8k.forward
+    rng = np.random.default_rng(1)
+    audio = (0.1 * rng.normal(size=(3, seq))).astype(np.float32)
+    out, hn, cn = run_silero_onnx(path, audio, sample_rate=sr)
+    h = jnp.zeros((2, 3, 64))
+    c = jnp.zeros((2, 3, 64))
+    p, _, _ = fwd(params, jnp.asarray(audio), h, c)
+    assert_close(np.asarray(p).ravel(), out.ravel(), 1e-5, f"v4 prob sr={sr}")
+
+
+@pytest.mark.parametrize("sr", [16000, 8000])
+def test_v5_executable_graph_parity(tmp_path, sr):
+    """Build an executable official-topology fused v5 graph from random
+    archives and execute it with the numpy executor: a behavior-level v5
+    oracle whose ONNX-standard op semantics (LSTM gate order, reflect Pad,
+    grouped Conv) are independent of the JAX implementation."""
+    import vadc_tpu.models.silero_v5 as v5
+    from vadc_tpu.export.onnx_build import build_silero_v5_onnx
+    from vadc_tpu.export.onnx_exec import run_silero_onnx
+    from vadc_tpu.export.silero_v5_from_onnx import extract_silero_v5
+    from vadc_tpu.models.synthetic import random_v5_8k_archive, random_v5_archive
+    from vadc_tpu.models.weights import load_params_from_tensors
+
+    path = tmp_path / "v5_exec.onnx"
+    build_silero_v5_onnx(path, dict(random_v5_archive(7)), dict(random_v5_8k_archive(8)))
+    fam, params = load_params_from_tensors(extract_silero_v5(path, sr))
+    mod = v5 if sr == 16000 else v5.v5_8k
+    assert fam == ("v5" if sr == 16000 else "v5_8k")
+    rng = np.random.default_rng(3)
+    n = 576 if sr == 16000 else 288
+    audio = (0.2 * rng.normal(size=(3, n))).astype(np.float32)
+    out, hn, cn = run_silero_onnx(path, audio, sample_rate=sr)
+    h = jnp.zeros((1, 3, 128))
+    c = jnp.zeros((1, 3, 128))
+    p, hn2, cn2 = mod.forward(params, jnp.asarray(audio), h, c)
+    assert_close(np.asarray(p).ravel(), out.ravel(), 1e-5, f"v5 prob sr={sr}")
+    assert_close(np.asarray(hn2), hn, 1e-4, "v5 hn")
+
+
+def test_classify_model_positive_markers(tmp_path):
+    """Marker-based classification (onnx_helpers.c:154-161) and the clean
+    one-line error for corrupt files."""
+    from vadc_tpu.export.onnx_extract import classify_model
+
+    from pathlib import Path
+
+    if Path(V3_ONNX).exists():
+        assert classify_model(V3_ONNX) == "v3"
+    if Path(V4_ONNX).exists():
+        assert classify_model(V4_ONNX) == "v4"
+
+    bad = tmp_path / "corrupt.onnx"
+    bad.write_bytes(b"\x13\x37" * 100)
+    with pytest.raises(ValueError, match="unrecognized model graph"):
+        classify_model(bad)
+
+
+def test_cli_reports_unrecognized_onnx(tmp_path, capsys):
+    """--model <corrupt.onnx> exits 1 with the promised one-line diagnosis
+    instead of an unrelated extractor traceback."""
+    from vadc_tpu.cli.main import main
+
+    bad = tmp_path / "corrupt.onnx"
+    bad.write_bytes(b"\x00\x01garbage" * 50)
+    rc = main(["--model", str(bad), "--raw_probabilities"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Error: unrecognized model graph" in err

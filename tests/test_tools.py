@@ -47,3 +47,26 @@ def test_pack_cli(tmp_path, testdata):
     )
     assert out.returncode == 0, out.stderr
     assert (tmp_path / "e.py").exists()
+
+
+def test_validate_v5_harness(tmp_path):
+    """tools/validate_v5.py end-to-end against an executable synthetic
+    official-topology v5 model — proves the one-command real-weight
+    validation path works before real v5 weights ever arrive."""
+    from vadc_tpu.export.onnx_build import build_silero_v5_onnx
+    from vadc_tpu.models.synthetic import random_v5_8k_archive, random_v5_archive
+
+    onnx_path = tmp_path / "silero_vad_v5.onnx"
+    build_silero_v5_onnx(
+        onnx_path, dict(random_v5_archive(7)), dict(random_v5_8k_archive(8))
+    )
+    tool = Path(__file__).parent.parent / "tools" / "validate_v5.py"
+    result = subprocess.run(
+        [sys.executable, str(tool), str(onnx_path), "--chunks", "2"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "V5 VALIDATION PASSED" in result.stdout
+    assert result.stdout.count("Hz branch") == 2

@@ -84,7 +84,7 @@ def load_streams(paths: list[str], chunk_samples: int) -> tuple[np.ndarray, np.n
 def main(argv: list[str] | None = None) -> int:
     try:
         return _main(argv)
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
     except BrokenPipeError:

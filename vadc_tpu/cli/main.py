@@ -126,10 +126,11 @@ def clamp_sequence_count(family: str, requested: int) -> int:
 def main(argv: list[str] | None = None) -> int:
     try:
         return _main(argv)
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         # clean one-line errors for the common failure modes (missing model
-        # file, missing ffmpeg binary, missing input) — the reference prints
-        # an error kind and exits rather than dumping a trace (vadc.c:911-947)
+        # file, unrecognized/corrupt model graph, missing ffmpeg binary,
+        # missing input) — the reference prints an error kind and exits
+        # rather than dumping a trace (vadc.c:911-947)
         print(f"Error: {e}", file=sys.stderr)
         return 1
     except BrokenPipeError:

@@ -45,6 +45,12 @@ def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _signed(v: int) -> int:
+    """Protobuf int64 fields encode negatives as 10-byte two's-complement
+    varints; fold back into Python's signed range (axis=-1 etc.)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
     """Yield (field_number, wire_type, value) over a message buffer.
     Length-delimited values come back as memoryview slices."""
@@ -100,12 +106,12 @@ def _parse_tensor(buf: memoryview) -> tuple[str, np.ndarray] | None:
             typed_kind = np.dtype("<f4")
         elif field == 7:  # int64_data (packed varints or single varint)
             if wire == 0:
-                typed.append(val)
+                typed.append(_signed(val))
             else:
                 pos = 0
                 while pos < len(val):
                     v, pos = _read_varint(val, pos)
-                    typed.append(v)
+                    typed.append(_signed(v))
             typed_kind = np.dtype("<i8")
     dtype = _DTYPES.get(dtype_code)
     if dtype is None:
@@ -143,7 +149,8 @@ def _walk_graph(buf: memoryview, out: dict[str, np.ndarray], prefix: str = "") -
 
 
 class OnnxNode:
-    """op_type + inputs/outputs + scalar/int-list attributes + subgraphs."""
+    """op_type + inputs/outputs + attributes (ints/floats/strings/tensors)
+    + subgraphs."""
 
     __slots__ = ("op_type", "name", "inputs", "outputs", "subgraphs", "attrs")
 
@@ -160,14 +167,18 @@ class OnnxNode:
 
 
 class OnnxGraph:
-    """Nodes in graph order plus initializers, with nested subgraphs."""
+    """Nodes in graph order plus initializers and declared graph I/O names,
+    with nested subgraphs. Nodes are topologically ordered per the ONNX
+    spec, so execution is a single in-order pass."""
 
-    __slots__ = ("name", "nodes", "initializers")
+    __slots__ = ("name", "nodes", "initializers", "inputs", "outputs")
 
     def __init__(self):
         self.name = ""
         self.nodes: list[OnnxNode] = []
         self.initializers: dict[str, np.ndarray] = {}
+        self.inputs: list[str] = []
+        self.outputs: list[str] = []
 
     def all_initializers(self) -> dict[str, np.ndarray]:
         out = dict(self.initializers)
@@ -191,37 +202,76 @@ def _parse_node(buf: memoryview) -> OnnxNode:
             node.name = bytes(val).decode("utf-8")
         elif field == 4:
             node.op_type = bytes(val).decode("utf-8")
-        elif field == 5:  # AttributeProto: name=1, i=3, g=6, ints=8
+        elif field == 5:
+            # AttributeProto: name=1, f=2, i=3, s=4, t=5, g=6, floats=7,
+            # ints=8, graphs=11
             aname = None
             aint = None
             aints: list[int] = []
             astr = None
+            afloat = None
+            afloats: list[float] = []
+            atensor = None
+            agraph = None
             for afield, awire, aval in _fields(val):
                 if afield == 1 and awire == 2:
                     aname = bytes(aval).decode("utf-8")
+                elif afield == 2 and awire == 5:
+                    afloat = float(np.frombuffer(aval, "<f4")[0])
                 elif afield == 4 and awire == 2:
                     astr = bytes(aval).decode("utf-8", "replace")
                 elif afield == 3 and awire == 0:
-                    aint = aval
+                    aint = _signed(aval)
+                elif afield == 5 and awire == 2:  # t: TensorProto
+                    parsed = _parse_tensor(aval)
+                    if parsed is not None:
+                        atensor = parsed[1]
+                elif afield == 7:
+                    if awire == 5:
+                        afloats.append(float(np.frombuffer(aval, "<f4")[0]))
+                    else:  # packed
+                        afloats.extend(
+                            np.frombuffer(bytes(aval), "<f4").tolist()
+                        )
                 elif afield == 8:
                     if awire == 0:
-                        aints.append(aval)
+                        aints.append(_signed(aval))
                     else:  # packed
                         pos = 0
                         while pos < len(aval):
                             v, pos = _read_varint(aval, pos)
-                            aints.append(v)
+                            aints.append(_signed(v))
                 elif awire == 2 and afield in (6, 11):
-                    node.subgraphs.append(_parse_graph(aval))
+                    agraph = _parse_graph(aval)
+                    node.subgraphs.append(agraph)
             if aname is not None:
-                if astr is not None:
+                if agraph is not None:
+                    # named subgraph attribute (then_branch / else_branch /
+                    # body) — the executor selects branches by this name
+                    node.attrs[aname] = agraph
+                elif atensor is not None:
+                    node.attrs[aname] = atensor
+                elif astr is not None:
                     node.attrs[aname] = astr
+                elif afloats:
+                    node.attrs[aname] = afloats
+                elif afloat is not None:
+                    node.attrs[aname] = afloat
                 else:
                     node.attrs[aname] = aints if aints else aint
     return node
 
 
+def _value_info_name(buf: memoryview) -> str:
+    """ValueInfoProto: name=1."""
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 2:
+            return bytes(val).decode("utf-8")
+    return ""
+
+
 def _parse_graph(buf: memoryview) -> OnnxGraph:
+    """GraphProto: node=1, name=2, initializer=5, input=11, output=12."""
     graph = OnnxGraph()
     for field, wire, val in _fields(buf):
         if wire != 2:
@@ -234,6 +284,10 @@ def _parse_graph(buf: memoryview) -> OnnxGraph:
             parsed = _parse_tensor(val)
             if parsed is not None:
                 graph.initializers[parsed[0]] = parsed[1]
+        elif field == 11:
+            graph.inputs.append(_value_info_name(val))
+        elif field == 12:
+            graph.outputs.append(_value_info_name(val))
     return graph
 
 
@@ -244,6 +298,52 @@ def parse_model(path: str | Path) -> OnnxGraph:
         if field == 7 and wire == 2:
             return _parse_graph(val)
     raise ValueError(f"{path}: no graph found")
+
+
+def classify_model(path: str | Path) -> str:
+    """Positively classify an .onnx file as 'v3', 'v4', or 'v5' from graph
+    markers, mirroring the reference's runtime introspection
+    (onnx_helpers.c:154-161: LSTM hidden size 128 => v5, else v3/v4;
+    onnx_helpers.c:314-357: scalar sr input => fused v4/v5 model).
+
+    Raises ValueError("unrecognized model graph (...)") for anything that
+    doesn't carry the markers — corrupt files included — so the CLI can
+    print the one-line diagnosis it promises instead of an unrelated
+    extraction error."""
+    try:
+        graph = parse_model(path)
+    except Exception as e:
+        raise ValueError(
+            f"unrecognized model graph (not parseable as ONNX: {e})"
+        ) from None
+
+    hidden_sizes: set[int] = set()
+
+    def walk(g: OnnxGraph) -> None:
+        for node in g.nodes:
+            if node.op_type == "LSTM":
+                hs = node.attrs.get("hidden_size")
+                if hs is not None:
+                    hidden_sizes.add(int(hs))
+            for sub in node.subgraphs:
+                walk(sub)
+
+    walk(graph)
+    has_sr_input = any(n in ("sr", "sample_rate") for n in graph.inputs)
+    if 128 in hidden_sizes:
+        return "v5"
+    if 64 in hidden_sizes:
+        return "v4" if has_sr_input else "v3"
+    # weight-archive-style .onnx without executable nodes (e.g. a stripped
+    # re-export): classify by the jit parameter names that survive export
+    init_names = graph.all_initializers().keys()
+    if any("reparam_conv" in n for n in init_names):
+        return "v5"
+    raise ValueError(
+        "unrecognized model graph (no Silero LSTM marker: "
+        f"hidden sizes {sorted(hidden_sizes) or 'none'}, "
+        f"inputs {graph.inputs})"
+    )
 
 
 def extract_initializers(path: str | Path) -> dict[str, np.ndarray]:

@@ -157,20 +157,20 @@ def load_params(path: str | Path) -> tuple[str, dict]:
     fused models and plain v3 graphs are auto-distinguished)."""
     path = Path(path)
     if path.suffix.lower() == ".onnx":
-        from vadc_tpu.export.onnx_extract import extract_initializers
+        from vadc_tpu.export.onnx_extract import classify_model
         from vadc_tpu.export.silero_v3_from_onnx import extract_silero_v3
         from vadc_tpu.export.silero_v4_from_onnx import extract_silero_v4
-        from vadc_tpu.export.silero_v5_from_onnx import (
-            extract_silero_v5,
-            looks_like_v5,
-        )
+        from vadc_tpu.export.silero_v5_from_onnx import extract_silero_v5
 
-        if looks_like_v5(extract_initializers(path)):
+        # positive marker-based classification (onnx_helpers.c:154-161);
+        # corrupt/unknown graphs raise a one-line ValueError here instead of
+        # dying later inside the wrong extractor
+        family = classify_model(path)
+        if family == "v5":
             tensors = extract_silero_v5(path)
+        elif family == "v4":
+            tensors = extract_silero_v4(path)
         else:
-            try:
-                tensors = extract_silero_v4(path)
-            except (StopIteration, AssertionError, KeyError, IndexError):
-                tensors = extract_silero_v3(path)
+            tensors = extract_silero_v3(path)
         return load_params_from_tensors(tensors)
     return load_params_from_tensors(load_testtensor(path))
