@@ -97,7 +97,10 @@ def test_encode_csb_matches_nlc(testdata, rng):
     audio = jnp.asarray(rng.normal(size=(4, 1536)).astype(np.float32) * 0.1)
     nlc = silero_v31.encode_nlc(params, audio)  # [B, T, C]
     csb = silero_v31.encode_csb(params, audio)  # [C, T, B]
-    assert_close(csb.transpose(2, 1, 0), nlc, 1e-5, "encode csb vs nlc")
+    # cross-FORMULATION fp32 accumulation-order bound (not a golden-fidelity
+    # contract): the CSB experiment keeps einsum attention while the NLC
+    # default runs the VPU broadcast-reduce chain at every tier since r3
+    assert_close(csb.transpose(2, 1, 0), nlc, 2e-5, "encode csb vs nlc")
 
 
 def test_precision_tiers_match_faithful(testdata, rng):
@@ -122,16 +125,25 @@ def test_precision_tiers_match_faithful(testdata, rng):
 
 
 def test_attention_fast_path_matches_highest(rng):
-    """The fast path's fused-QKV broadcast-reduce attention == the HIGHEST
-    path's batched-head matmul attention (same math, k.q^T orientation and
-    head/projection layout preserved) at every Silero channel width."""
+    """The fused-QKV broadcast-reduce attention == the fp32 batched-head
+    MATMUL formulation (same math, k.q^T orientation and head/projection
+    layout preserved) at every Silero channel width — pinned explicitly via
+    the VPU_ATTENTION_AT_HIGHEST toggle now that the VPU chain is the
+    default at every tier (r3: 1.64x faithful-tier win, fp32 deviation
+    5e-9 whole-model)."""
     for dim in (16, 32, 64):
         x = jnp.asarray(rng.normal(size=(3, 25, dim)).astype(np.float32) * 0.5)
         qkv_w = jnp.asarray(rng.normal(size=(3 * dim, dim)).astype(np.float32) * 0.3)
         qkv_b = jnp.asarray(rng.normal(size=(3 * dim,)).astype(np.float32) * 0.1)
         proj_w = jnp.asarray(rng.normal(size=(dim, dim)).astype(np.float32) * 0.3)
         proj_b = jnp.asarray(rng.normal(size=(dim,)).astype(np.float32) * 0.1)
-        ref = F.attention(x, qkv_w, qkv_b, proj_w, proj_b)
+        try:
+            F.VPU_ATTENTION_AT_HIGHEST = False
+            ref = F.attention(x, qkv_w, qkv_b, proj_w, proj_b)
+        finally:
+            F.VPU_ATTENTION_AT_HIGHEST = True
+        vpu_fp32 = F.attention(x, qkv_w, qkv_b, proj_w, proj_b)
+        assert_close(vpu_fp32, ref, 1e-5, f"attention vpu fp32 dim {dim}")
         with F.precision_mode("fast"):
             fast = F.attention(x, qkv_w, qkv_b, proj_w, proj_b)
         assert_close(fast, ref, 1e-3, f"attention fast path dim {dim}")

@@ -141,16 +141,32 @@ def _main(argv: list[str] | None = None) -> int:
     # device backend: only sparse closed-segment events cross the
     # device->host boundary per slab; materializing the full probability
     # slab for the native host FSM costs seconds per slab through
-    # remote-device tunnels (measured 2-4 s vs ~30 ms of events)
-    segmenter = BatchSegmenter(seg_config, n_streams, backend="device")
+    # remote-device tunnels (measured 2-4 s vs ~30 ms of events).
+    # pending_depth=2 defers each slab's event readback until two more
+    # slabs have been dispatched, so the readback sync overlaps with the
+    # next slabs' transfer + compute instead of serializing the loop.
+    segmenter = BatchSegmenter(
+        seg_config, n_streams, backend="device", pending_depth=2
+    )
 
     # s16 -> f32 on device (reference vadc.c:873-901 does this on the host;
     # here the raw int16 slab is what crosses the host->device link)
     to_f32 = jax.jit(lambda x: x.astype(jnp.float32) * (1.0 / 32768.0))
+
+    # double-buffered host->device pipeline: slab k+1's transfer is
+    # dispatched before slab k's scan is consumed, so the link and the chip
+    # work concurrently and e2e approaches max(transfer, compute) instead
+    # of their sum (the reference's single-thread loop, vadc.c:852-999, is
+    # exactly this sum)
+    def h2d(off: int):
+        return jnp.asarray(grid[:, off : off + slab])
+
+    pending = h2d(0) if t_pad else None
     for off in range(0, t_pad, slab):
-        chunk_slab = to_f32(jnp.asarray(grid[:, off : off + slab]))
-        probs, state = runner.scan(chunk_slab, state)
+        nxt = h2d(off + slab) if off + slab < t_pad else None
+        probs, state = runner.scan(to_f32(pending), state)
         segmenter.feed(probs)
+        pending = nxt
 
     segments = segmenter.finish(
         valid_chunks=list(valid) + [0] * (n_streams - n_files)

@@ -100,7 +100,8 @@ class StreamRunner:
         self.family = family
         self.params = params
         self.precision = precision
-        self.fast_math = precision == "fast"
+        # any tier whose matmuls run bf16 single-pass (fast AND turbo)
+        self.fast_math = precision in ("fast", "turbo")
         self.scan_block_chunks = scan_block_chunks
         self.module = get_family_module(family)
         module = self.module

@@ -121,12 +121,29 @@ class BatchSegmenter:
     still-open segments and the pad/merge pass. Semantics match the scalar
     CLI Segmenter."""
 
-    def __init__(self, config: SegmenterConfig, n_streams: int, *, backend: str = "auto"):
+    def __init__(
+        self,
+        config: SegmenterConfig,
+        n_streams: int,
+        *,
+        backend: str = "auto",
+        pending_depth: int = 0,
+    ):
+        from collections import deque
+
         from vadc_tpu import native
 
         self.config = config
         self.n_streams = n_streams
         self._raw: list[list[tuple[int, int]]] = [[] for _ in range(n_streams)]
+        # pending_depth > 0 defers the device->host event readback by that
+        # many feed() calls: feed only *dispatches* (async under JAX), and
+        # the sync that forces slab k's results happens while slab k+depth
+        # is already computing — the copy/compute overlap the offline corpus
+        # loop needs (a strictly-sequential readback was measured to halve
+        # its e2e throughput through a remote-device tunnel).
+        self.pending_depth = pending_depth
+        self._pending: deque = deque()
         use_native = backend == "native" or (backend == "auto" and native.available())
         if backend not in ("auto", "native", "device"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -153,22 +170,34 @@ class BatchSegmenter:
             )
 
     def feed(self, probs) -> None:
+        if self._native is not None:
+            # defer only the device->host probability pull; the C++ FSM
+            # must still see slabs in order, so draining is FIFO
+            self._pending.append(probs)
+        else:
+            cfg = self.config
+            self.state, events = self._step(
+                jnp.asarray(probs, jnp.float32),
+                threshold=cfg.threshold,
+                neg_threshold=cfg.neg_threshold,
+                min_silence_chunks=cfg.min_silence_chunks,
+                min_speech_chunks=cfg.min_speech_chunks,
+                state=self.state,
+            )
+            self._pending.append(events)  # device arrays, no sync yet
+        while len(self._pending) > self.pending_depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
         import numpy as np
 
+        entry = self._pending.popleft()
         if self._native is not None:
-            for i, start, end in self._native.feed(np.asarray(probs, np.float32)):
+            for i, start, end in self._native.feed(np.asarray(entry, np.float32)):
                 self._raw[i].append((start, end))
             return
-        cfg = self.config
-        self.state, (closed, seg_start, seg_end) = self._step(
-            jnp.asarray(probs, jnp.float32),
-            threshold=cfg.threshold,
-            neg_threshold=cfg.neg_threshold,
-            min_silence_chunks=cfg.min_silence_chunks,
-            min_speech_chunks=cfg.min_speech_chunks,
-            state=self.state,
-        )
-        closed = np.asarray(closed)  # [T, B]
+        closed, seg_start, seg_end = entry
+        closed = np.asarray(closed)  # [T, B] — the sync point
         if not closed.any():
             return
         seg_start = np.asarray(seg_start)
@@ -183,6 +212,8 @@ class BatchSegmenter:
         reference's EOF snap applies at it (vadc.c:1005-1027)."""
         import numpy as np
 
+        while self._pending:
+            self._drain_one()
         cfg = self.config
         if self._native is not None:
             triggered = self._native.triggered.astype(bool)

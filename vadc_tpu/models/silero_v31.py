@@ -137,11 +137,10 @@ def forward_pallas(
     from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
     from vadc_tpu.nn import functional as F
 
-    fast = F._PRECISION != F.HIGHEST
     if F.compute_dtype() != jnp.float32:
         with F.precision_mode("fast"):
             return forward_fused2d(params, audio, h, c, fast=True)
-    return forward_fused2d(params, audio, h, c, fast=fast)
+    return forward_fused2d(params, audio, h, c, fast=F._PRECISION != F.HIGHEST)
 
 
 def forward_minibatched(

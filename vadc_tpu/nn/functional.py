@@ -41,11 +41,17 @@ _PRECISION = HIGHEST
 # fp32 inside their fusions; only what is READ and WRITTEN to HBM shrinks.
 _COMPUTE_DTYPE = jnp.float32
 
+# Use the VPU broadcast-multiply-reduce attention chain at HIGHEST precision
+# too (r2 measured it a 1.43x whole-model win for the bf16 tiers; r3
+# measures the fp32 crossover — see docs/PERFORMANCE.md). Read at trace
+# time, like _PRECISION.
+VPU_ATTENTION_AT_HIGHEST = True
+
 
 #: matmul precision tiers (TPU v5e, batch 2048, sustained steady-state —
 #: current measurements in docs/PERFORMANCE.md's headline table):
 #:   faithful — fp32 (6-pass) matmuls; the golden-fidelity contract.
-#:              ~2.0 ms/chunk-step.
+#:              ~1.25 ms/chunk-step (r3: VPU attention runs here too).
 #:   balanced — bf16_3x matmuls: ~0.83 ms at ~2e-5 max probability
 #:              deviation vs faithful — still inside the reference's
 #:              1e-4 per-op tier.
@@ -359,9 +365,11 @@ def attention(
     """
     bsz, seq, dim = x.shape
     head_dim = dim // n_heads
-    if _PRECISION == HIGHEST:
-        # fp32 path: the batched-head form benches best (2.49 vs 2.68 ms
-        # per chunk-step at batch 2048 full-model)
+    if _PRECISION == HIGHEST and not VPU_ATTENTION_AT_HIGHEST:
+        # fp32 matmul path (the pre-r3 faithful default; kept selectable for
+        # A/B and as the layout reference). The batched-head form benches
+        # best among the matmul formulations (2.49 vs 2.68 ms per
+        # chunk-step at batch 2048 full-model).
         qkv = linear(x, qkv_w, qkv_b)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -389,7 +397,12 @@ def attention(
     # flattening the head outputs back to [B, S, D] matches the projection
     # weight's column order. Softmax statistics run in fp32 even when
     # activations are bf16-resident (turbo); the casts are no-ops in fast
-    # mode. (Also measured, all SLOWER: VPU-reducing the pointwise/FF/conv
+    # mode. NOTE the [B, S, T, H, hd] broadcast below is ~1.3 GB at batch
+    # 2048 BEFORE reduction; correctness of the memory footprint relies on
+    # XLA fusing the broadcast into the reduce (holds on current
+    # toolchains). If a future backend change makes this path OOM or slow,
+    # lost fusion here is the first suspect — the matmul formulation above
+    # (VPU_ATTENTION_AT_HIGHEST=False) is the fallback. (Also measured, all SLOWER: VPU-reducing the pointwise/FF/conv
     # linears — 2-6x worse, the crossover is attention-only; the bilinear
     # folded form +110 us; 4-D batched-head dots +130 us. docs/PERFORMANCE.md.)
     scale = jnp.sqrt(jnp.float32(head_dim))
