@@ -271,6 +271,42 @@ def main():
         f"audio): {audio_seconds/60:.0f} min audio in {wall:.2f} s = "
         f"{audio_seconds/wall:.0f}x realtime aggregate")
 
+    # ---- sustained multi-client serving (64 sockets, 20 s, churn) ----
+    # the reference's stats contract (vadc.c:1037-1081) generalized to N
+    # streams; tick/emit latencies measured inside the engine loop, not RTT
+    try:
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from serve_bench import run_serving_bench
+
+        serving = run_serving_bench(
+            n_clients=64, seconds=20.0, rtf=4.0, precision="turbo", churn=True
+        )
+        for k in (
+            "aggregate_realtime_x",
+            "tick_p50_ms",
+            "tick_p99_ms",
+            "emit_p50_ms",
+            "emit_p99_ms",
+            "delivery_exact",
+            "clients",
+            "client_errors",
+            "churn_clients",
+            "churn_errors",
+        ):
+            configs[f"serving_{k}"] = serving[k]
+        log(
+            f"serving: {serving['clients']} clients x {serving['rtf_per_client']}x "
+            f"realtime, tick p50/p99 {serving['tick_p50_ms']}/"
+            f"{serving['tick_p99_ms']} ms, emit p50 {serving['emit_p50_ms']} ms, "
+            f"{serving['aggregate_realtime_x']}x aggregate, "
+            f"delivery exact {serving['delivery_exact']}/{serving['clients']}, "
+            f"churn {serving['churn_clients']} ({serving['churn_errors']} errors)"
+        )
+    except Exception as e:
+        log(f"serving bench skipped ({type(e).__name__}: {e})")
+
     best_mode, best = max(results.items(), key=lambda kv: kv[1])
     log(f"best: {best_mode} -> {best:.0f} streams/chip")
     print(

@@ -192,3 +192,33 @@ def test_server_checkpoint_resume(testdata):
     srv2._stop.set()
     sock2.close()
     assert got == expected
+
+
+def test_churn_no_dropped_or_duplicated_segments(testdata):
+    """Connect/disconnect storms: waves of short-lived clients over a small
+    slot pool, every client must receive EXACTLY its own segments (no drops,
+    no duplicates, no cross-slot leakage of another stream's state). Uses
+    the serve_bench harness so the sustained-benchmark path is CI-covered."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    from serve_bench import run_serving_bench
+
+    result = run_serving_bench(
+        n_clients=4,
+        seconds=4.0,
+        rtf=8.0,
+        precision="fast",
+        model=str(testdata / "silero_v31_16k.testtensor"),
+        churn=True,
+    )
+    assert result["client_errors"] == 0, result
+    assert result["churn_errors"] == 0, result
+    # every steady client got exactly the expected segment count
+    assert result["delivery_exact"] == result["clients"], result
+    assert result["delivered_min"] == result["expected_segments_per_client"], result
+    assert result["delivered_max"] == result["expected_segments_per_client"], result
+    assert result["churn_clients"] > 0, "churn never ran"

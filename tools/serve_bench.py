@@ -1,0 +1,261 @@
+"""Sustained multi-client serving benchmark for vadc_tpu.server.
+
+Drives a live VadServer with N concurrent TCP clients streaming synthetic
+speech at (a multiple of) realtime for a fixed duration, with optional
+connect/disconnect churn waves and a checkpoint-under-load, then reports:
+
+  * per-tick latency p50/p99 (device step + FSM + emission, measured inside
+    the engine loop — NOT a tunnel-RTT artifact);
+  * segment-emission latency p50/p99 (FSM close event -> socket write);
+  * aggregate audio throughput (seconds of audio served / wall);
+  * segment delivery accounting (every client validates its own count).
+
+The reference's stats contract is the single-stream RTF line
+(vadc.c:1037-1081); this is that contract generalized to N streams.
+
+Usage:
+    python tools/serve_bench.py [--clients 64] [--seconds 30] [--rtf 4]
+        [--precision turbo] [--churn] [--checkpoint]
+
+Importable: run_serving_bench(...) returns the metrics dict (bench.py's
+`serving` config calls it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+SR = 16000
+
+
+def _speechlike(duration_s: float, f0: float = 120.0) -> np.ndarray:
+    t = np.arange(int(duration_s * SR)) / SR
+    sig = np.zeros_like(t)
+    for k in range(1, 25):
+        f = k * f0
+        w = np.exp(-(((f - 500) / 400) ** 2)) + 0.7 * np.exp(
+            -(((f - 1500) / 500) ** 2)
+        )
+        sig += w * np.sin(2 * np.pi * f * t + k)
+    sig *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t - np.pi / 2))
+    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+
+
+def _cycle_pcm(chunk_samples: int) -> tuple[bytes, int]:
+    """One 3 s voiced + 2 s silence cycle, padded to a whole number of
+    chunks. Returns (pcm bytes, expected segments per cycle = 1)."""
+    from vadc_tpu.io.pcm import f32_to_s16le
+
+    audio = np.concatenate(
+        [_speechlike(3.0), 0.001 * np.random.default_rng(0).normal(size=2 * SR).astype(np.float32)]
+    )
+    pad = (-len(audio)) % chunk_samples
+    audio = np.concatenate([audio, np.zeros(pad, np.float32)])
+    return f32_to_s16le(audio), 1
+
+
+class _Client(threading.Thread):
+    """Streams `cycles` audio cycles at `rtf` x realtime in chunk-sized
+    writes, then half-closes and collects segment lines."""
+
+    def __init__(self, port: int, pcm_cycle: bytes, cycles: int, chunk_bytes: int, rtf: float):
+        super().__init__(daemon=True)
+        self.port = port
+        self.pcm = pcm_cycle * cycles
+        self.cycles = cycles
+        self.chunk_bytes = chunk_bytes
+        self.rtf = rtf
+        self.segments: list[tuple[float, float]] = []
+        self.error: str | None = None
+        self.audio_seconds = len(self.pcm) / 2 / SR
+
+    def run(self) -> None:
+        try:
+            c = socket.create_connection(("127.0.0.1", self.port), timeout=30)
+        except OSError as e:
+            self.error = f"connect: {e}"
+            return
+        lines = []
+        recv_buf = b""
+        c.settimeout(0.0)  # non-blocking reads interleaved with paced writes
+        chunk_period = (self.chunk_bytes / 2 / SR) / self.rtf
+        try:
+            next_t = time.perf_counter()
+            for off in range(0, len(self.pcm), self.chunk_bytes):
+                c.sendall(self.pcm[off : off + self.chunk_bytes])
+                next_t += chunk_period
+                while True:
+                    delay = next_t - time.perf_counter()
+                    try:
+                        recv_buf += c.recv(4096)
+                    except (BlockingIOError, socket.timeout):
+                        pass
+                    if delay <= 0:
+                        break
+                    time.sleep(min(delay, 0.005))
+            c.shutdown(socket.SHUT_WR)
+            c.settimeout(60)
+            while True:
+                data = c.recv(4096)
+                if not data:
+                    break
+                recv_buf += data
+        except OSError as e:
+            self.error = f"stream: {e}"
+        finally:
+            c.close()
+        for line in recv_buf.decode().splitlines():
+            if line.startswith("error"):
+                self.error = line
+            else:
+                lines.append(tuple(float(x) for x in line.split(",")))
+        self.segments = lines
+
+
+def _pct(xs, q):
+    if not xs:
+        return None
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(len(xs) * q))]
+
+
+def run_serving_bench(
+    n_clients: int = 64,
+    seconds: float = 30.0,
+    rtf: float = 4.0,
+    precision: str = "turbo",
+    model: str | None = None,
+    churn: bool = False,
+    checkpoint: bool = False,
+) -> dict:
+    from vadc_tpu import native
+    from vadc_tpu.server import VadServer
+
+    if not native.available():
+        raise RuntimeError("native library unavailable (make -C native)")
+
+    # churn waves get their own slot headroom so recycling is exercised
+    # without starving the steady clients
+    srv = VadServer(
+        port=0,
+        max_streams=n_clients + (2 if churn else 0),
+        model=model,
+        precision=precision,
+    )
+    sock = socket.create_server(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    srv.pool.start()
+    threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
+    engine = threading.Thread(target=srv._engine_loop, daemon=True)
+    engine.start()
+
+    pcm_cycle, segs_per_cycle = _cycle_pcm(srv.chunk)
+    cycle_s = len(pcm_cycle) / 2 / SR
+    cycles = max(1, int(seconds * rtf / cycle_s))
+
+    t0 = time.perf_counter()
+    clients = [
+        _Client(port, pcm_cycle, cycles, srv.chunk * 2, rtf) for _ in range(n_clients)
+    ]
+    for cl in clients:
+        cl.start()
+        time.sleep(0.002)  # connection ramp, not a thundering herd
+
+    churn_clients: list[_Client] = []
+    if churn:
+        # connect/disconnect waves on top of the steady load: short-lived
+        # clients that stream exactly one cycle then leave, forcing slot
+        # recycling while other slots are mid-stream
+        def churner():
+            while any(cl.is_alive() for cl in clients):
+                c = _Client(port, pcm_cycle, 1, srv.chunk * 2, rtf)
+                churn_clients.append(c)
+                c.start()
+                c.join(timeout=120)
+                time.sleep(0.05)  # let the slot recycle before the next wave
+
+        threading.Thread(target=churner, daemon=True).start()
+
+    if checkpoint:
+        time.sleep(min(5.0, seconds / 2))
+        srv.save_checkpoint("/tmp/serve_bench_ckpt.npz")
+
+    for cl in clients:
+        cl.join(timeout=600)
+    wall = time.perf_counter() - t0
+    srv._stop.set()
+    sock.close()
+
+    expected = cycles * segs_per_cycle
+    delivered = [len(cl.segments) for cl in clients]
+    errors = [cl.error for cl in clients if cl.error]
+    audio_total = sum(cl.audio_seconds for cl in clients)
+    ticks = [t * 1e3 for t in srv.tick_times]
+    emits = [t * 1e3 for t in srv.emit_latencies]
+    result = {
+        "clients": n_clients,
+        "precision": precision,
+        "rtf_per_client": rtf,
+        "wall_s": round(wall, 2),
+        "audio_seconds_served": round(audio_total, 1),
+        "aggregate_realtime_x": round(audio_total / wall, 1),
+        "expected_segments_per_client": expected,
+        "delivered_min": min(delivered),
+        "delivered_max": max(delivered),
+        "delivery_exact": delivered.count(expected),
+        "client_errors": len(errors),
+        "tick_p50_ms": round(_pct(ticks, 0.50), 2) if ticks else None,
+        "tick_p99_ms": round(_pct(ticks, 0.99), 2) if ticks else None,
+        "ticks_measured": len(ticks),
+        "emit_p50_ms": round(_pct(emits, 0.50), 3) if emits else None,
+        "emit_p99_ms": round(_pct(emits, 0.99), 3) if emits else None,
+        "churn_clients": len(churn_clients),
+        "churn_errors": sum(1 for c in churn_clients if c.error),
+    }
+    if checkpoint:
+        result["checkpoint_under_load"] = "ok"
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--rtf", type=float, default=4.0,
+                    help="per-client feed rate as a multiple of realtime")
+    ap.add_argument("--precision",
+                    choices=("faithful", "balanced", "fast", "turbo"),
+                    default="turbo")
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--churn", action="store_true")
+    ap.add_argument("--checkpoint", action="store_true")
+    args = ap.parse_args(argv)
+
+    from vadc_tpu.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    result = run_serving_bench(
+        n_clients=args.clients,
+        seconds=args.seconds,
+        rtf=args.rtf,
+        precision=args.precision,
+        model=args.model,
+        churn=args.churn,
+        checkpoint=args.checkpoint,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

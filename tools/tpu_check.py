@@ -7,7 +7,7 @@ Checks, each against its XLA oracle at the stated bound:
   * kernels/lstm.lstm_decoder_fused    — parity 1e-5
   * kernels/silero_v31_fused2d         — parity 1e-5 (fp32) incl. state carry
   * models/silero_v31 fast-vs-faithful — probability deviation <= 2e-2
-  * per-op golden fidelity on TPU      — every op <= 1e-4 except the LSTM
+  * per-op golden fidelity on TPU      — every op <= 1e-4 incl. the LSTM
     accumulation tier (<= 1e-3, the reference's full-model tier)
 
 Exit 0 + one JSON summary line on success; nonzero with the failing check
@@ -20,6 +20,71 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+
+def _probe_toolchain_blockers(np, jax, jnp) -> list[str]:
+    """Re-test the two known Mosaic blockers with minimal kernels.
+
+    (a) bf16-TYPED 3-D dot whose contraction is not a 128-multiple —
+        crashed the r2 compile helper (workaround: fp32 values +
+        precision=DEFAULT, kernels/silero_v31_fused2d.py);
+    (b) lane-dim concat of a 3-D-slab slice feeding a matmul — compiled
+        but MISCOMPILED in r2 (workaround: row-split weights,
+        kernels/silero_v31_fused3d.py:144-146).
+
+    Returns the names of probes that now behave correctly."""
+    from jax.experimental import pallas as pl
+
+    lifted: list[str] = []
+
+    def k_bf16_3d(x_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:],
+            w_ref[:],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    try:
+        x = jnp.full((2, 8, 48), 0.5, jnp.bfloat16)
+        w = jnp.full((48, 16), 0.25, jnp.bfloat16)
+        out = pl.pallas_call(
+            k_bf16_3d,
+            out_shape=jax.ShapeDtypeStruct((2, 8, 16), jnp.float32),
+        )(x, w)
+        if np.allclose(np.asarray(out), 48 * 0.5 * 0.25, atol=1e-2):
+            lifted.append("bf16_3d_dot_nonmultiple_contraction")
+        else:
+            print("probe bf16_3d_dot: compiles but wrong values — still blocked",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"probe bf16_3d_dot: still blocked ({type(e).__name__}) — expected",
+              file=sys.stderr)
+
+    def k_concat(x_ref, h_ref, w_ref, o_ref):
+        xt = x_ref[:, 1, :]  # 3-D-slab slice
+        cat = jnp.concatenate([xt, h_ref[:]], axis=-1)
+        o_ref[:] = jnp.dot(cat, w_ref[:], preferred_element_type=jnp.float32)
+
+    try:
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(8, 4, 64)).astype(np.float32)
+        h = rng.normal(size=(8, 64)).astype(np.float32)
+        w = rng.normal(size=(128, 32)).astype(np.float32)
+        out = pl.pallas_call(
+            k_concat,
+            out_shape=jax.ShapeDtypeStruct((8, 32), jnp.float32),
+        )(jnp.asarray(x), jnp.asarray(h), jnp.asarray(w))
+        expected = np.concatenate([x[:, 1, :], h], axis=-1) @ w
+        if np.abs(np.asarray(out) - expected).max() < 1e-3:
+            lifted.append("lane_concat_of_3d_slab_slice")
+        else:
+            print("probe lane_concat: compiles but MISCOMPILES — still blocked",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"probe lane_concat: still blocked ({type(e).__name__}) — expected",
+              file=sys.stderr)
+    return lifted
 
 
 def main() -> int:
@@ -139,9 +204,26 @@ def main() -> int:
             elif err > worst_err:
                 worst_op, worst_err = name, err
         check(f"golden_ops_worst({worst_op})", worst_err, 1e-4)
-        check("golden_lstm_accumulation", lstm_err, 1e-3)
+        # r3: the accurate_tanh fix brought the LSTM from 3.4e-4 into the
+        # reference's own per-op tier (measured 3.2e-5); hold the 1e-4 line
+        check("golden_lstm_accumulation", lstm_err, 1e-4)
     else:
         print("golden fixtures unavailable; skipping fidelity tier", file=sys.stderr)
+
+    # ---- toolchain-blocker canaries (informational, never fail the run) ----
+    # The two documented Mosaic blockers that capped the fused Pallas
+    # kernels (docs/PERFORMANCE.md "Pallas status"): if either probe starts
+    # passing, the toolchain moved and fused3d deserves a re-bench — until
+    # then, no further kernel-rewrite time is spent (r2 verdict).
+    lifted = _probe_toolchain_blockers(np, jax, jnp)
+    summary_probes = {"lifted": lifted}
+    if lifted:
+        print(
+            f"TOOLCHAIN MOVED: probes now pass: {lifted} — re-bench "
+            "kernels/silero_v31_fused3d (BLK 32/64) before trusting the "
+            "XLA-default conclusion",
+            file=sys.stderr,
+        )
 
     elapsed = time.time() - t0
     summary = {
@@ -150,6 +232,7 @@ def main() -> int:
         "failures": failures,
         "seconds": round(elapsed, 1),
         "results": {k: float(f"{v:.3e}") for k, v in results.items()},
+        "toolchain_probes": summary_probes,
     }
     print(json.dumps(summary))
     return 1 if failures else 0

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
+from vadc_tpu.nn import functional as F
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -53,10 +55,10 @@ def _lstm_kernel(x_ref, h0_ref, c0_ref, w_ref, b_ref, y_ref, hn_ref, cn_ref):
             )
             i = jax.nn.sigmoid(gates[:, :hidden])
             f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            g = F._tanh(gates[:, 2 * hidden : 3 * hidden])
             o = jax.nn.sigmoid(gates[:, 3 * hidden :])
             c_new = f * cs[layer] + i * g
-            h_new = o * jnp.tanh(c_new)
+            h_new = o * F._tanh(c_new)
             new_h.append(h_new)
             new_c.append(c_new)
             inp = h_new
@@ -101,10 +103,10 @@ def _lstm_decoder_kernel(
             )
             i = jax.nn.sigmoid(gates[:, :hidden])
             f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            g = F._tanh(gates[:, 2 * hidden : 3 * hidden])
             o = jax.nn.sigmoid(gates[:, 3 * hidden :])
             c_new = f * cs[layer] + i * g
-            h_new = o * jnp.tanh(c_new)
+            h_new = o * F._tanh(c_new)
             new_h.append(h_new)
             new_c.append(c_new)
             inp = h_new

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
+from vadc_tpu.nn import functional as F
+
 from vadc_tpu.models.weights import V3_STRIDES
 from vadc_tpu.nn.functional import ADAPTIVE_NORM_FILTER, LAYER_NORM_EPS, BATCH_NORM_EPS
 
@@ -215,10 +217,10 @@ def _make_kernel(treedef, n_frames: int, blk: int):
                 gates = _dot(jnp.concatenate([inp, h[layer]], axis=-1), w_l[layer]) + b_l[layer]
                 i = jax.nn.sigmoid(gates[:, :hidden])
                 f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-                g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+                g = F._tanh(gates[:, 2 * hidden : 3 * hidden])
                 o = jax.nn.sigmoid(gates[:, 3 * hidden :])
                 c[layer] = f * c[layer] + i * g
-                h[layer] = o * jnp.tanh(c[layer])
+                h[layer] = o * F._tanh(c[layer])
                 inp = h[layer]
             dec_acc = dec_acc + jax.nn.relu(inp)
         hn_ref[0], hn_ref[1] = h[0], h[1]

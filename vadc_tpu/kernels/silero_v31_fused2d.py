@@ -46,6 +46,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from vadc_tpu.models.weights import V3_STRIDES
+from vadc_tpu.nn import functional as F
 from vadc_tpu.nn.functional import BATCH_NORM_EPS, LAYER_NORM_EPS
 
 SEQ0 = 25  # frames entering the encoder (1536-sample chunks)
@@ -213,10 +214,10 @@ def _make_kernel(treedef, blk: int, fast: bool, seq0: int = SEQ0, attn_3d: bool 
                 gates = dot(jnp.concatenate([inp, h[layer]], axis=-1), w_l[layer]) + b_l[layer]
                 i = jax.nn.sigmoid(gates[:, :hidden])
                 f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-                g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+                g = F._tanh(gates[:, 2 * hidden : 3 * hidden])
                 o = jax.nn.sigmoid(gates[:, 3 * hidden :])
                 c[layer] = f * c[layer] + i * g
-                h[layer] = o * jnp.tanh(c[layer])
+                h[layer] = o * F._tanh(c[layer])
                 inp = h[layer]
             dec_acc = dec_acc + jax.nn.relu(inp)
         hn_ref[0], hn_ref[1] = h[0], h[1]
@@ -240,8 +241,6 @@ def forward_fused2d(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in v3.1 forward: XLA front-end (STFT + adaptive norm) + the
     fused 2-D encoder/LSTM/decoder kernel. audio [B, 1536]; h, c [2, B, 64]."""
-    from vadc_tpu.nn import functional as F
-
     batch = audio.shape[0]
     blk = min(block_streams, batch)
     if batch % blk:

@@ -41,6 +41,16 @@ _PRECISION = HIGHEST
 # fp32 inside their fusions; only what is READ and WRITTEN to HBM shrinks.
 _COMPUTE_DTYPE = jnp.float32
 
+# Exact-fp32 LSTM gate accumulation: compute the [B,4H] = [B,2H]x[2H,4H]
+# gate matmul as a VPU broadcast-reduce instead of on the MXU. At HIGHEST
+# the MXU runs fp32 as a multi-pass bf16-product composition whose
+# accumulation order differs from scalar C; the VPU form is true fp32 FMAs.
+# Fidelity experiment (r3, see docs/PERFORMANCE.md): closes the per-op
+# LSTM error vs the reference fixture on-chip. Off by default — the 128-256
+# wide contraction on the VPU costs far more than the MXU at production
+# batch; flip on for fidelity-critical verification runs.
+LSTM_VPU_GATES = False
+
 # Use the VPU broadcast-multiply-reduce attention chain at HIGHEST precision
 # too (r2 measured it a 1.43x whole-model win for the bf16 tiers; r3
 # measures the fp32 crossover — see docs/PERFORMANCE.md). Read at trace
@@ -207,6 +217,28 @@ def accurate_log1p(y: jax.Array) -> jax.Array:
     ln2_hi = jnp.float32(0.693359375)  # exact in fp32
     ln2_lo = jnp.float32(-2.12194440e-4)
     return e * ln2_hi + (log_m + e * ln2_lo)
+
+
+def accurate_tanh(x: jax.Array) -> jax.Array:
+    """fp32 tanh to ~2e-6 abs (measured on a v5e over [-9, 9]; the
+    hardware/XLA builtin tanh approximation measures 4.4e-5 abs there —
+    three decades above the 3e-8 f32 rounding floor, and the dominant term
+    of the faithful-tier LSTM's accumulated error: the r3 diagnosis showed
+    gate matmuls at 2.1e-6 and sigmoid at 6.9e-7, ruling both out).
+
+    Symmetric exp form: tanh(x) = sign(x) * (1 - e) / (1 + e) with
+    e = exp(-2|x|); accuracy is bounded by exp's ~3.7e-6 relative error.
+    All VPU-friendly ops (works inside Pallas kernels too)."""
+    a = jnp.abs(x)
+    e = jnp.exp(-2.0 * a)
+    return jnp.sign(x) * (1.0 - e) / (1.0 + e)
+
+
+def _tanh(x: jax.Array) -> jax.Array:
+    """Precision-selected tanh: the exp-based ~2e-6 form under the fidelity
+    contract; the builtin (~4.4e-5, slightly cheaper) in fast-math mode,
+    where matmul rounding already dominates."""
+    return accurate_tanh(x) if _PRECISION == HIGHEST else jnp.tanh(x)
 
 
 def _log1p(y: jax.Array) -> jax.Array:
@@ -465,10 +497,15 @@ def lstm_cell(
 
     Reference: lstm_cell, lstm.c:31-95; bias fusion utils.py:93-107.
     """
-    gates = jnp.matmul(jnp.concatenate([x, h], axis=-1), w.T, precision=_PRECISION) + b
+    xh = jnp.concatenate([x, h], axis=-1)
+    if LSTM_VPU_GATES and _PRECISION == HIGHEST:
+        # true-fp32 FMA order (see LSTM_VPU_GATES above)
+        gates = jnp.sum(xh[:, None, :] * w[None, :, :], axis=-1) + b
+    else:
+        gates = jnp.matmul(xh, w.T, precision=_PRECISION) + b
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * _tanh(g)
+    h_new = jax.nn.sigmoid(o) * _tanh(c_new)
     return h_new, c_new
 
 

@@ -91,6 +91,15 @@ class VadServer:
         self._resume_slots: dict[int, tuple[int, int] | None] = {}
         self.host, self.port = host, port
         self._stop = threading.Event()
+        # serving observability (bounded; ~30 min of 96 ms ticks): per-tick
+        # wall time for ticks that processed audio, and event->socket-write
+        # emission latency per segment line. Read by tools/serve_bench.py;
+        # the reference's analogue is the stats line (vadc.c:1037-1081),
+        # generalized to N streams.
+        from collections import deque
+
+        self.tick_times: deque = deque(maxlen=20000)
+        self.emit_latencies: deque = deque(maxlen=20000)
 
         # one jitted tick: batched step + masked merge (idle slots hold) +
         # masked reset (fresh slots restart from zeros)
@@ -306,6 +315,7 @@ class VadServer:
             batch, ready, count = self.pool.gather()
             active = ready > 0
             if count or reset.any():
+                t0 = time.perf_counter()
                 probs, self.state = self._tick(
                     self._params,
                     jnp.asarray(batch),
@@ -315,8 +325,11 @@ class VadServer:
                 )
                 if count:
                     events = self.fsm.feed(np.asarray(probs)[:, None], active=active)
+                    t_ev = time.perf_counter()
                     for slot, start_c, end_c in events:
                         self._emit(slot, start_c, end_c)
+                        self.emit_latencies.append(time.perf_counter() - t_ev)
+                    self.tick_times.append(time.perf_counter() - t0)
             # finish streams whose sockets have drained
             for slot in range(self.n):
                 if self.slots[slot] is not None and self.pool.stream_done(slot):
