@@ -51,6 +51,12 @@ _COMPUTE_DTYPE = jnp.float32
 # batch; flip on for fidelity-critical verification runs.
 LSTM_VPU_GATES = False
 
+# fp32-accumulate the attention chain's two reductions in the bf16 tiers
+# (ADVICE r2: at bf16 they otherwise accumulate in bf16 over 25-32 terms —
+# the tightest numerical spot of the tier). At HIGHEST the operands are
+# already fp32 so this is a no-op. Default set by the r3 on-chip A/B below.
+ATTN_SUM_FP32_ACCUM = False
+
 # Use the VPU broadcast-multiply-reduce attention chain at HIGHEST precision
 # too (r2 measured it a 1.43x whole-model win for the bf16 tiers; r3
 # measures the fp32 crossover — see docs/PERFORMANCE.md). Read at trace
@@ -443,11 +449,14 @@ def attention(
     kh = qkv[..., 1 * dim : 2 * dim].reshape(bsz, seq, n_heads, head_dim)
     vh = qkv[..., 2 * dim : 3 * dim].reshape(bsz, seq, n_heads, head_dim)
     # scores[b,s,t,h] = sum_d k[b,s,h,d] q[b,t,h,d]  (k-major, softmax over q)
-    scores = jnp.sum(kh[:, :, None] * qh[:, None], axis=-1)  # [B, S, T, H]
+    acc = jnp.float32 if ATTN_SUM_FP32_ACCUM else None
+    scores = jnp.sum(kh[:, :, None] * qh[:, None], axis=-1, dtype=acc)  # [B, S, T, H]
     alpha = jax.nn.softmax(
         scores.astype(jnp.float32) / scale, axis=2
     ).astype(x.dtype)
-    head_out = jnp.sum(alpha[..., None] * vh[:, None], axis=2)  # [B, S, H, hd]
+    head_out = jnp.sum(alpha[..., None] * vh[:, None], axis=2, dtype=acc)  # [B, S, H, hd]
+    # keep the tier's residency dtype downstream (no-op unless accum differs)
+    head_out = head_out.astype(x.dtype)
     return linear(head_out.reshape(bsz, seq, dim), proj_w, proj_b)
 
 
