@@ -51,11 +51,14 @@ _COMPUTE_DTYPE = jnp.float32
 # batch; flip on for fidelity-critical verification runs.
 LSTM_VPU_GATES = False
 
-# fp32-accumulate the attention chain's two reductions in the bf16 tiers
-# (ADVICE r2: at bf16 they otherwise accumulate in bf16 over 25-32 terms —
-# the tightest numerical spot of the tier). At HIGHEST the operands are
-# already fp32 so this is a no-op. Default set by the r3 on-chip A/B below.
-ATTN_SUM_FP32_ACCUM = False
+# fp32-accumulate the attention chain's two reductions. Only the TURBO tier
+# actually changes (bf16-resident activations; the other tiers' operands are
+# already fp32, measured bit-identical). R3 on-chip A/B at batch 2048:
+# turbo 0.481 ms with vs 0.505 without (no cost — the reduce's accumulator
+# never leaves registers), deviation vs faithful 1.39e-3 vs 1.45e-3 on the
+# probe input. The r2 advisor flagged the bf16 25-32-term sums as the
+# tier's tightest numerical spot; this closes it for free.
+ATTN_SUM_FP32_ACCUM = True
 
 # Use the VPU broadcast-multiply-reduce attention chain at HIGHEST precision
 # too (r2 measured it a 1.43x whole-model win for the bf16 tiers; r3
