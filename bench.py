@@ -295,7 +295,13 @@ def main():
             "churn_clients",
             "churn_errors",
         ):
-            configs[f"serving_{k}"] = serving[k]
+            # tick latency includes the device step, which through the
+            # remote-device tunnel is RTT-dominated (~30 ms); label it so
+            # the number is not misread as on-chip serving latency
+            key = f"serving_{k}"
+            if k.startswith("tick_"):
+                key += "_incl_tunnel_rtt"
+            configs[key] = serving[k]
         log(
             f"serving: {serving['clients']} clients x {serving['rtf_per_client']}x "
             f"realtime, tick p50/p99 {serving['tick_p50_ms']}/"
