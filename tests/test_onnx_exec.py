@@ -167,3 +167,49 @@ def test_cli_reports_unrecognized_onnx(tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "Error: unrecognized model graph" in err
+
+
+def test_introspection_restrictions():
+    """Graph-declared restrictions read like the reference's ORT probing
+    (onnx_helpers.c:192-275 batch/sequence, :146-151 state-batch rule,
+    :314-357 sr input, :359-410 hidden size)."""
+    from pathlib import Path
+
+    from vadc_tpu.engine.onnx_backend import introspect
+
+    if Path(V3_ONNX).exists():
+        r3 = introspect(V3_ONNX)
+        # official v3 state is [2, 1, 64]: not minibatch-aware => batch 1
+        assert r3.batch == 1
+        assert r3.sequence == -1
+        assert r3.hidden == 64
+        assert not r3.has_sr_input
+        assert r3.prob_rank3
+    if Path(V4_ONNX).exists():
+        r4 = introspect(V4_ONNX)
+        assert r4.batch == -1
+        assert r4.hidden == 64
+        assert r4.has_sr_input
+        assert not r4.prob_rank3
+
+
+def test_exec_runner_matches_extraction_backend():
+    """The executor-backed runner (the CLI's --onnx_exec / fallback path)
+    produces the same probabilities as the extraction + JAX path, chunk by
+    chunk with state threading."""
+    from vadc_tpu.engine.onnx_backend import OnnxExecRunner
+    from vadc_tpu.engine.runner import MinibatchRunner
+    from vadc_tpu.models.weights import load_params
+
+    path = _exists(V3_ONNX)
+    rng = np.random.default_rng(5)
+    window = (0.1 * rng.normal(size=4 * 1536)).astype(np.float32)
+
+    exec_runner = OnnxExecRunner(path, chunk_samples=1536)
+    p_exec = exec_runner.process_window(window)
+
+    family, params = load_params(path)
+    jax_runner = MinibatchRunner(family, params, batch_size=4, chunk_samples=1536)
+    p_jax = np.asarray(jax_runner.process_window(window))
+
+    assert_close(p_exec, p_jax, 1e-5, "exec runner vs extraction backend")

@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="faithful",
                    help="matmul precision tier (default faithful = the "
                         "golden-fidelity contract; see docs/PERFORMANCE.md)")
+    p.add_argument("--onnx_exec", action="store_true",
+                   help="run the .onnx graph itself via the numpy executor "
+                        "(restrictions introspected from the graph like the "
+                        "reference's ORT backend; CPU-speed compatibility "
+                        "path for re-exported/nonstandard models). Also the "
+                        "automatic fallback when a recognized graph defeats "
+                        "weight extraction")
     return p
 
 
@@ -139,6 +146,25 @@ def main(argv: list[str] | None = None) -> int:
         return 130
 
 
+def _make_exec_runner(weights_path: Path, args):
+    """Build the introspected numpy-executor backend (engine/onnx_backend),
+    honoring the graph's declared sequence restriction over the user's
+    --sequence_count wish (the reference's clamp order, vadc.c:742-754)."""
+    from vadc_tpu.engine.onnx_backend import OnnxExecRunner
+
+    requested = clamp_sequence_count("v3", int(args.sequence_count))
+    runner = OnnxExecRunner(weights_path, chunk_samples=requested)
+    r = runner.restrictions
+    print(
+        "graph introspection: "
+        f"batch={'unrestricted' if r.batch < 0 else r.batch}, "
+        f"sequence={'unrestricted' if r.sequence < 0 else r.sequence}, "
+        f"hidden={r.hidden}, sr_input={r.has_sr_input}",
+        file=sys.stderr,
+    )
+    return runner
+
+
 def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -149,18 +175,46 @@ def _main(argv: list[str] | None = None) -> int:
     enable_persistent_compilation_cache()
 
     weights_path = resolve_weights_path(args.model)
-    family, params = load_params(weights_path)
-    if family == "v5":
-        print("Model arch is Silero v5", file=sys.stderr)
 
-    seq = clamp_sequence_count(family, int(args.sequence_count))
-    print(f"Running with batch size {args.batch}", file=sys.stderr)
-    print(f"Running with sequence count {seq}", file=sys.stderr)
+    runner = None
+    if args.onnx_exec:
+        if weights_path.suffix.lower() != ".onnx":
+            raise ValueError("--onnx_exec requires --model <file.onnx>")
+        runner = _make_exec_runner(weights_path, args)
+    else:
+        try:
+            family, params = load_params(weights_path)
+        except ValueError:
+            raise  # unrecognized graph: the clean one-line error
+        except Exception as e:
+            if weights_path.suffix.lower() != ".onnx":
+                raise
+            # recognized family but the graph deviates from the known
+            # extraction shapes (re-export, fused variants): fall back to
+            # executing the graph itself — the generality the reference
+            # gets from ORT (onnx_helpers.c:532-549)
+            print(
+                f"weight extraction failed ({type(e).__name__}: {e}); "
+                "falling back to the numpy graph executor (slow path, "
+                "--onnx_exec)",
+                file=sys.stderr,
+            )
+            runner = _make_exec_runner(weights_path, args)
 
-    runner = MinibatchRunner(
-        family, params, batch_size=int(args.batch), chunk_samples=seq,
-        precision=args.precision,
-    )
+    if runner is None:
+        if family == "v5":
+            print("Model arch is Silero v5", file=sys.stderr)
+        seq = clamp_sequence_count(family, int(args.sequence_count))
+        print(f"Running with batch size {args.batch}", file=sys.stderr)
+        print(f"Running with sequence count {seq}", file=sys.stderr)
+        runner = MinibatchRunner(
+            family, params, batch_size=int(args.batch), chunk_samples=seq,
+            precision=args.precision,
+        )
+    else:
+        seq = runner.chunk_samples
+        print(f"Running with sequence count {seq} (graph-executor backend)",
+              file=sys.stderr)
     # 8 kHz branch families time chunks (and decode input) at their own rate
     model_sr = getattr(runner.module, "SAMPLE_RATE", SAMPLE_RATE)
     seg_config = SegmenterConfig.from_ms(

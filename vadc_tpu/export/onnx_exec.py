@@ -398,6 +398,7 @@ def run_silero_onnx(
     audio: np.ndarray,
     state: tuple[np.ndarray, np.ndarray] | None = None,
     sample_rate: int | None = None,
+    executor: "OnnxExecutor | None" = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Convenience wrapper: run one batch through an official Silero .onnx.
 
@@ -406,7 +407,7 @@ def run_silero_onnx(
     state pair (h0/c0, h/c, or a fused `state`). The same role the
     reference's ort_create_tensors + ort_run pair plays
     (onnx_helpers.c:412-549)."""
-    ex = OnnxExecutor.from_path(path)
+    ex = executor if executor is not None else OnnxExecutor.from_path(path)
     names = ex.input_names
     feeds: dict[str, np.ndarray] = {}
     audio = np.asarray(audio, np.float32)

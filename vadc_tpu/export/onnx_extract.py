@@ -171,7 +171,14 @@ class OnnxGraph:
     with nested subgraphs. Nodes are topologically ordered per the ONNX
     spec, so execution is a single in-order pass."""
 
-    __slots__ = ("name", "nodes", "initializers", "inputs", "outputs")
+    __slots__ = (
+        "name",
+        "nodes",
+        "initializers",
+        "inputs",
+        "outputs",
+        "input_shapes",
+    )
 
     def __init__(self):
         self.name = ""
@@ -179,6 +186,10 @@ class OnnxGraph:
         self.initializers: dict[str, np.ndarray] = {}
         self.inputs: list[str] = []
         self.outputs: list[str] = []
+        # declared input shapes: name -> tuple of dims (int for fixed,
+        # None for symbolic/dynamic) — what the reference's ORT backend
+        # probes for batch/sequence restrictions (onnx_helpers.c:192-275)
+        self.input_shapes: dict[str, tuple] = {}
 
     def all_initializers(self) -> dict[str, np.ndarray]:
         out = dict(self.initializers)
@@ -270,6 +281,34 @@ def _value_info_name(buf: memoryview) -> str:
     return ""
 
 
+def _value_info_shape(buf: memoryview) -> tuple | None:
+    """ValueInfoProto -> declared tensor shape, or None when absent.
+
+    ValueInfoProto.type=2 (TypeProto) -> tensor_type=1 (TypeProto.Tensor)
+    -> shape=2 (TensorShapeProto) -> dim=1 (Dimension: dim_value=1,
+    dim_param=2). Fixed dims come back as ints, symbolic ones as None."""
+    for field, wire, val in _fields(buf):
+        if field != 2 or wire != 2:
+            continue
+        for tfield, twire, tval in _fields(val):
+            if tfield != 1 or twire != 2:
+                continue
+            for sfield, swire, sval in _fields(tval):
+                if sfield != 2 or swire != 2:
+                    continue
+                dims: list[int | None] = []
+                for dfield, dwire, dval in _fields(sval):
+                    if dfield != 1 or dwire != 2:
+                        continue
+                    dim: int | None = None
+                    for ffield, fwire, fval in _fields(dval):
+                        if ffield == 1 and fwire == 0:
+                            dim = _signed(fval)
+                    dims.append(dim)
+                return tuple(dims)
+    return None
+
+
 def _parse_graph(buf: memoryview) -> OnnxGraph:
     """GraphProto: node=1, name=2, initializer=5, input=11, output=12."""
     graph = OnnxGraph()
@@ -285,7 +324,11 @@ def _parse_graph(buf: memoryview) -> OnnxGraph:
             if parsed is not None:
                 graph.initializers[parsed[0]] = parsed[1]
         elif field == 11:
-            graph.inputs.append(_value_info_name(val))
+            name = _value_info_name(val)
+            graph.inputs.append(name)
+            shape = _value_info_shape(val)
+            if shape is not None:
+                graph.input_shapes[name] = shape
         elif field == 12:
             graph.outputs.append(_value_info_name(val))
     return graph
