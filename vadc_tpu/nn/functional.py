@@ -244,10 +244,12 @@ def accurate_tanh(x: jax.Array) -> jax.Array:
 
 
 def _tanh(x: jax.Array) -> jax.Array:
-    """Precision-selected tanh: the exp-based ~2e-6 form under the fidelity
-    contract; the builtin (~4.4e-5, slightly cheaper) in fast-math mode,
-    where matmul rounding already dominates."""
-    return accurate_tanh(x) if _PRECISION == HIGHEST else jnp.tanh(x)
+    """Precision-selected tanh: the exp-based ~2e-6 form for the faithful
+    AND balanced tiers (balanced's bf16_3x matmuls deviate only ~2e-5, so
+    the builtin tanh's 4.4e-5 would be its weakest link); the builtin
+    (slightly cheaper) in the bf16 fast/turbo tiers, where matmul rounding
+    already dominates."""
+    return jnp.tanh(x) if _PRECISION == lax.Precision.DEFAULT else accurate_tanh(x)
 
 
 def _log1p(y: jax.Array) -> jax.Array:
