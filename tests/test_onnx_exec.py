@@ -213,3 +213,38 @@ def test_exec_runner_matches_extraction_backend():
     p_jax = np.asarray(jax_runner.process_window(window))
 
     assert_close(p_exec, p_jax, 1e-5, "exec runner vs extraction backend")
+
+
+def test_cli_falls_back_to_exec_on_extraction_failure(monkeypatch, tmp_path, capsys):
+    """A recognized graph that defeats weight extraction must route to the
+    executor backend with a stderr note instead of dying (the generality
+    contract of the reference's ORT backend)."""
+    import io
+    import types
+
+    import vadc_tpu.cli.main as cli
+    import vadc_tpu.models.weights as weights
+
+    onnx_path = tmp_path / "reexported.onnx"
+    onnx_path.write_bytes(b"\x00")  # never parsed: both paths are stubbed
+
+    def broken_extraction(path):
+        raise KeyError("missing weight tensor 'transformer_l1.dw_conv_weights'")
+
+    class StubRunner:
+        chunk_samples = 1536
+        module = types.SimpleNamespace(SAMPLE_RATE=16000)
+
+        def process_window(self, w):
+            return np.full(len(w) // 1536, 0.25, np.float32)
+
+    monkeypatch.setattr(weights, "load_params", broken_extraction)
+    monkeypatch.setattr(cli, "_make_exec_runner", lambda p, a: StubRunner())
+    pcm = np.zeros(1536 * 4, "<i2").tobytes()
+    monkeypatch.setattr(cli.sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(pcm)))
+
+    rc = cli.main(["--model", str(onnx_path), "--raw_probabilities"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "falling back to the numpy graph executor" in captured.err
+    assert captured.out.count("0.25") == 4
