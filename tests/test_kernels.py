@@ -150,3 +150,36 @@ def test_fused2d_attn3d_matches_model(testdata):
     probs, hn, _ = forward_fused2d(params, audio, h, c, block_streams=4, attn_3d=True)
     assert_close(probs, probs_ref, 1e-6, "fused2d attn3d probs")
     assert_close(hn, hn_ref, 1e-5, "fused2d attn3d hn")
+
+
+def test_stft_mag_kernel_parity_interpret(testdata):
+    """Fused STFT+magnitude kernel (kernels/stft_mag.py, a measured-rejected
+    r3 experiment — see its docstring) stays correct in interpret mode so
+    the experiment remains reproducible if the toolchain moves."""
+    import functools
+    from unittest import mock
+
+    import vadc_tpu.kernels.stft_mag as sm
+    from vadc_tpu.io.testtensor import load_testtensor
+    from vadc_tpu.nn import functional as F
+
+    basis = jnp.asarray(
+        np.asarray(
+            load_testtensor(testdata / "silero_v31_16k.testtensor")[
+                "forward_basis_buffer"
+            ]
+        ).reshape(258, 256)
+    )
+    packed = sm.prepack_basis(basis, 64)
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray((0.1 * rng.normal(size=(8, 1536))).astype(np.float32))
+    ref = F.stft_magnitude_nlc(audio, basis, pad_left=128, pad_right=128, hop=64)
+    orig = sm.pl.pallas_call
+    with mock.patch.object(
+        sm.pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        out = sm.stft_magnitude_pallas(
+            audio, packed, pad_left=128, pad_right=128, hop=64, cutoff=129,
+            block_streams=8,
+        )
+    assert_close(out, ref, 1e-5, "stft_mag kernel vs XLA")
