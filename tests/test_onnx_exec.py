@@ -223,10 +223,16 @@ def test_cli_falls_back_to_exec_on_extraction_failure(monkeypatch, tmp_path, cap
     import types
 
     import vadc_tpu.cli.main as cli
+    import vadc_tpu.export.onnx_extract as extract
     import vadc_tpu.models.weights as weights
 
     onnx_path = tmp_path / "reexported.onnx"
-    onnx_path.write_bytes(b"\x00")  # never parsed: both paths are stubbed
+    onnx_path.write_bytes(b"\x00")  # never parsed: all three paths are stubbed
+
+    # the fallback gate re-classifies to separate "recognized graph whose
+    # extraction failed" (fall back) from "unrecognized graph" (clean error);
+    # this test is the former case
+    monkeypatch.setattr(extract, "classify_model", lambda p: "v3")
 
     def broken_extraction(path):
         raise KeyError("missing weight tensor 'transformer_l1.dw_conv_weights'")
@@ -248,3 +254,89 @@ def test_cli_falls_back_to_exec_on_extraction_failure(monkeypatch, tmp_path, cap
     assert rc == 0
     assert "falling back to the numpy graph executor" in captured.err
     assert captured.out.count("0.25") == 4
+
+
+def test_cli_falls_back_even_on_valueerror_extraction_failure(
+    monkeypatch, tmp_path, capsys
+):
+    """A RECOGNIZED graph whose tensor set deviates raises
+    ValueError('unrecognized weight archive layout') from the extractor —
+    that must still route to the executor, not be mistaken for an
+    unrecognized graph (the two share an exception type, not a meaning)."""
+    import io
+    import types
+
+    import vadc_tpu.cli.main as cli
+    import vadc_tpu.export.onnx_extract as extract
+    import vadc_tpu.models.weights as weights
+
+    onnx_path = tmp_path / "reexported.onnx"
+    onnx_path.write_bytes(b"\x00")
+
+    monkeypatch.setattr(extract, "classify_model", lambda p: "v3")
+
+    def broken_extraction(path):
+        raise ValueError("unrecognized weight archive layout")
+
+    class StubRunner:
+        chunk_samples = 1536
+        module = types.SimpleNamespace(SAMPLE_RATE=16000)
+
+        def process_window(self, w):
+            return np.full(len(w) // 1536, 0.25, np.float32)
+
+    monkeypatch.setattr(weights, "load_params", broken_extraction)
+    monkeypatch.setattr(cli, "_make_exec_runner", lambda p, a: StubRunner())
+    pcm = np.zeros(1536 * 2, "<i2").tobytes()
+    monkeypatch.setattr(cli.sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(pcm)))
+
+    rc = cli.main(["--model", str(onnx_path), "--raw_probabilities"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "falling back to the numpy graph executor" in captured.err
+
+
+def test_lstm_hidden_size_inferred_from_r_tensor():
+    """hidden_size is an OPTIONAL LSTM attribute (ONNX spec); a re-export
+    that omits it must still classify via the recurrence tensor R's shape
+    [dirs, 4H, H]."""
+    import os
+
+    from vadc_tpu.export.onnx_extract import lstm_hidden_sizes, parse_model
+
+    if not os.path.exists(V3_ONNX):
+        import pytest
+
+        pytest.skip("reference v3 onnx unavailable")
+    graph = parse_model(V3_ONNX)
+
+    def strip(g):
+        for node in g.nodes:
+            node.attrs.pop("hidden_size", None)
+            for sub in node.subgraphs:
+                strip(sub)
+
+    assert lstm_hidden_sizes(graph) == {64}
+    strip(graph)
+    assert lstm_hidden_sizes(graph) == {64}  # via R [dirs, 256, 64]
+
+
+def test_cli_unrecognized_graph_clean_error(monkeypatch, tmp_path, capsys):
+    """An UNRECOGNIZED .onnx (classification itself fails) must produce the
+    one-line diagnosis and exit 1 — no executor fallback."""
+    import io
+    import types
+
+    import vadc_tpu.cli.main as cli
+
+    onnx_path = tmp_path / "garbage.onnx"
+    onnx_path.write_bytes(b"\x00\x01\x02not-a-model")
+    monkeypatch.setattr(
+        cli.sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(b""))
+    )
+
+    rc = cli.main(["--model", str(onnx_path), "--raw_probabilities"])
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "unrecognized model graph" in captured.err
+    assert "falling back" not in captured.err

@@ -87,7 +87,15 @@ class _Client(threading.Thread):
             return
         lines = []
         recv_buf = b""
-        c.settimeout(0.0)  # non-blocking reads interleaved with paced writes
+        # Writes stay BLOCKING (with a generous timeout): under engine
+        # saturation the server stops reading a backpressured stream and the
+        # kernel send buffer fills — a non-blocking sendall would raise
+        # BlockingIOError and miscount throttled clients as errors; the
+        # correct client behavior is to wait for writability. Reads are
+        # polled via select() so they never block the pacing loop.
+        import select as _select
+
+        c.settimeout(60)
         chunk_period = (self.chunk_bytes / 2 / SR) / self.rtf
         try:
             next_t = time.perf_counter()
@@ -96,10 +104,12 @@ class _Client(threading.Thread):
                 next_t += chunk_period
                 while True:
                     delay = next_t - time.perf_counter()
-                    try:
-                        recv_buf += c.recv(4096)
-                    except (BlockingIOError, socket.timeout):
-                        pass
+                    readable, _, _ = _select.select([c], [], [], 0)
+                    if readable:
+                        data = c.recv(4096)
+                        if not data:  # server closed early; drain loop below
+                            break
+                        recv_buf += data
                     if delay <= 0:
                         break
                     time.sleep(min(delay, 0.005))
@@ -172,19 +182,22 @@ def run_serving_bench(
         time.sleep(0.002)  # connection ramp, not a thundering herd
 
     churn_clients: list[_Client] = []
+    churn_thread = None
+    churn_stop = threading.Event()
     if churn:
         # connect/disconnect waves on top of the steady load: short-lived
         # clients that stream exactly one cycle then leave, forcing slot
         # recycling while other slots are mid-stream
         def churner():
-            while any(cl.is_alive() for cl in clients):
+            while not churn_stop.is_set() and any(cl.is_alive() for cl in clients):
                 c = _Client(port, pcm_cycle, 1, srv.chunk * 2, rtf)
                 churn_clients.append(c)
                 c.start()
                 c.join(timeout=120)
                 time.sleep(0.05)  # let the slot recycle before the next wave
 
-        threading.Thread(target=churner, daemon=True).start()
+        churn_thread = threading.Thread(target=churner, daemon=True)
+        churn_thread.start()
 
     if checkpoint:
         time.sleep(min(5.0, seconds / 2))
@@ -193,6 +206,12 @@ def run_serving_bench(
     for cl in clients:
         cl.join(timeout=600)
     wall = time.perf_counter() - t0
+    # the churner's current client may still be mid-stream when the steady
+    # clients finish — join it before the server stops and results are read,
+    # or its teardown races into churn_errors/segment counts
+    if churn_thread is not None:
+        churn_stop.set()
+        churn_thread.join(timeout=180)
     srv._stop.set()
     sock.close()
 

@@ -152,8 +152,10 @@ def _make_exec_runner(weights_path: Path, args):
     --sequence_count wish (the reference's clamp order, vadc.c:742-754)."""
     from vadc_tpu.engine.onnx_backend import OnnxExecRunner
 
-    requested = clamp_sequence_count("v3", int(args.sequence_count))
-    runner = OnnxExecRunner(weights_path, chunk_samples=requested)
+    # the runner clamps against the graph's declared sequence restriction
+    # AND the introspected family's chunk contract (v5 graphs with dynamic
+    # dims still run at their fixed 512/256-sample cadence)
+    runner = OnnxExecRunner(weights_path, chunk_samples=int(args.sequence_count))
     r = runner.restrictions
     print(
         "graph introspection: "
@@ -184,11 +186,21 @@ def _main(argv: list[str] | None = None) -> int:
     else:
         try:
             family, params = load_params(weights_path)
-        except ValueError:
-            raise  # unrecognized graph: the clean one-line error
         except Exception as e:
             if weights_path.suffix.lower() != ".onnx":
                 raise
+            # Distinguish "unrecognized graph" (terminal: the clean one-line
+            # error) from "recognized family but extraction failed" (fall
+            # back to the executor). Extraction failures are NOT all
+            # non-ValueError — e.g. a recognized graph whose tensor set
+            # deviates raises ValueError('unrecognized weight archive
+            # layout') — so re-classify to decide.
+            from vadc_tpu.export.onnx_extract import classify_model
+
+            try:
+                classify_model(weights_path)
+            except ValueError:
+                raise e from None  # truly unrecognized: one-line diagnosis
             # recognized family but the graph deviates from the known
             # extraction shapes (re-export, fused variants): fall back to
             # executing the graph itself — the generality the reference

@@ -42,8 +42,12 @@ class ModelRestrictions(NamedTuple):
     prob_rank3: bool  # v3-style [B,2,1] output (prob at index 1)
 
 
-def introspect(path) -> ModelRestrictions:
-    graph = parse_model(path)
+def introspect(model) -> ModelRestrictions:
+    """Read the graph's declared restrictions. `model` is a path or an
+    already-parsed OnnxGraph (so the runner parses the file exactly once)."""
+    from vadc_tpu.export.onnx_extract import OnnxGraph, lstm_hidden_sizes
+
+    graph = model if isinstance(model, OnnxGraph) else parse_model(model)
     init = set(graph.all_initializers())
     real_inputs = [n for n in graph.inputs if n not in init]
     shapes = {n: graph.input_shapes.get(n) for n in real_inputs}
@@ -52,16 +56,7 @@ def introspect(path) -> ModelRestrictions:
     state_names = [n for n in real_inputs[1:] if n not in ("sr", "sample_rate")]
 
     hidden = 64
-    hidden_sizes: set[int] = set()
-
-    def walk(g):
-        for node in g.nodes:
-            if node.op_type == "LSTM" and node.attrs.get("hidden_size"):
-                hidden_sizes.add(int(node.attrs["hidden_size"]))
-            for sub in node.subgraphs:
-                walk(sub)
-
-    walk(graph)
+    hidden_sizes = lstm_hidden_sizes(graph)
     if hidden_sizes:
         hidden = max(hidden_sizes)
     elif state_names and shapes.get(state_names[0]):
@@ -111,16 +106,26 @@ class OnnxExecRunner:
     ):
         self.path = path
         self.executor = OnnxExecutor.from_path(path)
-        self.restrictions = introspect(path)
+        self.restrictions = introspect(self.executor.graph)
         r = self.restrictions
-        self.chunk_samples = (
-            r.sequence if r.sequence > 0 else chunk_samples
-        )
         self.sample_rate = sample_rate
         self.module = self._Module()
         self.module.SAMPLE_RATE = sample_rate
         # v5-style models carry raw-audio context between chunks
         self.is_v5 = r.hidden == 128
+        if r.sequence > 0:
+            self.chunk_samples = r.sequence
+        else:
+            # dynamic graph: apply the introspected family's chunk contract
+            # (v5 fixed 512/256, v3/v4 multiples of 256 in [512, 1536] —
+            # vadc.h:85-94), not the caller's raw wish
+            from vadc_tpu.cli.main import clamp_sequence_count
+
+            if self.is_v5:
+                family = "v5" if sample_rate == 16000 else "v5_8k"
+            else:
+                family = "v3" if sample_rate == 16000 else "v4_8k"
+            self.chunk_samples = clamp_sequence_count(family, chunk_samples)
         self.context_samples = (64 if sample_rate == 16000 else 32) if self.is_v5 else 0
         layers = 1 if self.is_v5 else 2
         self._h = np.zeros((layers, 1, r.hidden), np.float32)
@@ -143,8 +148,13 @@ class OnnxExecRunner:
             sample_rate=self.sample_rate if self.restrictions.has_sr_input else None,
             executor=self.executor,
         )
-        if self.restrictions.prob_rank3:
-            return float(out[0, 1, 0])  # vadc.c:704-713 stride semantics
+        # Branch on the ACTUAL output rank, exactly like the reference
+        # (onnx_helpers.c:277-312): rank 3 => v3-style [B,2,1], prob at
+        # index 1 (vadc.c:704-713); anything else => prob at index 0.
+        # restrictions.prob_rank3 is the static prediction; a re-exported
+        # graph whose output shape deviates must not crash mid-stream.
+        if out.ndim == 3:
+            return float(out[0, 1, 0])
         return float(np.ravel(out)[0])
 
     def process_window(self, window: np.ndarray) -> np.ndarray:

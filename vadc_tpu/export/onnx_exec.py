@@ -331,8 +331,10 @@ class OnnxExecutor:
         elif op == "MatMul":
             out = np.matmul(vals[0], vals[1])
         elif op == "Gemm":
-            alpha = float(a.get("alpha") or 1.0)
-            beta = float(a.get("beta") or 1.0)
+            # .get(k, 1.0), NOT `or 1.0`: an explicit alpha/beta of 0.0 is
+            # legal ONNX (beta=0 means "ignore C") and must not read as 1.0
+            alpha = float(a.get("alpha", 1.0))
+            beta = float(a.get("beta", 1.0))
             x = vals[0].T if a.get("transA") else vals[0]
             w = vals[1].T if a.get("transB") else vals[1]
             out = alpha * (x @ w)

@@ -343,6 +343,31 @@ def parse_model(path: str | Path) -> OnnxGraph:
     raise ValueError(f"{path}: no graph found")
 
 
+def lstm_hidden_sizes(graph: OnnxGraph) -> set[int]:
+    """Hidden size of every LSTM node (subgraphs included). The
+    ``hidden_size`` attribute is OPTIONAL in the ONNX spec, so fall back to
+    the recurrence tensor R [num_dirs, 4H, H] (LSTM input 2) when a
+    re-export omits it — the executor itself infers it the same way."""
+    init = graph.all_initializers()
+    sizes: set[int] = set()
+
+    def walk(g: OnnxGraph) -> None:
+        for node in g.nodes:
+            if node.op_type == "LSTM":
+                hs = node.attrs.get("hidden_size")
+                if hs is not None:
+                    sizes.add(int(hs))
+                elif len(node.inputs) >= 3 and node.inputs[2] in init:
+                    r = init[node.inputs[2]]
+                    if r.ndim == 3:
+                        sizes.add(int(r.shape[2]))
+            for sub in node.subgraphs:
+                walk(sub)
+
+    walk(graph)
+    return sizes
+
+
 def classify_model(path: str | Path) -> str:
     """Positively classify an .onnx file as 'v3', 'v4', or 'v5' from graph
     markers, mirroring the reference's runtime introspection
@@ -360,18 +385,7 @@ def classify_model(path: str | Path) -> str:
             f"unrecognized model graph (not parseable as ONNX: {e})"
         ) from None
 
-    hidden_sizes: set[int] = set()
-
-    def walk(g: OnnxGraph) -> None:
-        for node in g.nodes:
-            if node.op_type == "LSTM":
-                hs = node.attrs.get("hidden_size")
-                if hs is not None:
-                    hidden_sizes.add(int(hs))
-            for sub in node.subgraphs:
-                walk(sub)
-
-    walk(graph)
+    hidden_sizes = lstm_hidden_sizes(graph)
     has_sr_input = any(n in ("sr", "sample_rate") for n in graph.inputs)
     if 128 in hidden_sizes:
         return "v5"

@@ -325,6 +325,12 @@ class VadServer:
                 )
                 if count:
                     events = self.fsm.feed(np.asarray(probs)[:, None], active=active)
+                    # latency is measured from the feed() that produced the
+                    # events, NOT reset per emit: all of a tick's events
+                    # become visible at t_ev, so the k-th event's recorded
+                    # latency deliberately includes head-of-line blocking
+                    # behind slower emits in the same tick — that is what a
+                    # client actually observes
                     t_ev = time.perf_counter()
                     for slot, start_c, end_c in events:
                         self._emit(slot, start_c, end_c)
