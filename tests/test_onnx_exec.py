@@ -296,6 +296,25 @@ def test_cli_falls_back_even_on_valueerror_extraction_failure(
     assert "falling back to the numpy graph executor" in captured.err
 
 
+def test_exec_runner_v5_dynamic_graph_chunk_contract(tmp_path):
+    """A v5 graph with DYNAMIC dims (the official export shape) must run at
+    the v5 family's fixed cadence — 512 samples @16 kHz, 256 @8 kHz — not
+    the caller's v3-sized wish (finding: the executor path previously ran
+    such graphs at 1536, 3x coarser than the reference)."""
+    from vadc_tpu.engine.onnx_backend import OnnxExecRunner
+    from vadc_tpu.export.onnx_build import build_silero_v5_onnx
+    from vadc_tpu.models.synthetic import random_v5_8k_archive, random_v5_archive
+
+    path = tmp_path / "v5_dyn.onnx"
+    build_silero_v5_onnx(
+        path, dict(random_v5_archive(7)), dict(random_v5_8k_archive(8))
+    )
+    runner = OnnxExecRunner(path, chunk_samples=1536)
+    assert runner.restrictions.sequence == -1  # dynamic, no declared clamp
+    assert runner.is_v5 and runner.chunk_samples == 512
+    assert OnnxExecRunner(path, chunk_samples=1536, sample_rate=8000).chunk_samples == 256
+
+
 def test_lstm_hidden_size_inferred_from_r_tensor():
     """hidden_size is an OPTIONAL LSTM attribute (ONNX spec); a re-export
     that omits it must still classify via the recurrence tensor R's shape
