@@ -123,6 +123,52 @@ def test_slot_reuse_and_overflow(server, audio):
     for h in hold:
         h.close()
 
+def test_sharded_server_matches_unsharded(testdata, audio):
+    """Slot axis sharded over the 8 virtual devices (pure stream-DP, the
+    batch CLI's mesh applied to serving): same segments as the unsharded
+    engine for concurrent clients."""
+    import jax
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    from vadc_tpu.server import VadServer
+
+    srv = VadServer(
+        port=0,
+        max_streams=len(jax.devices()),
+        model=str(testdata / "silero_v31_16k.testtensor"),
+        shard=True,
+    )
+    assert srv.mesh is not None and srv.mesh.size == len(jax.devices())
+    sock = socket.create_server(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    srv.pool.start()
+    threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
+    threading.Thread(target=srv._engine_loop, daemon=True).start()
+    try:
+        results = {}
+
+        def go(name):
+            results[name] = _run_client(port, audio)
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for name, segs in results.items():
+            assert len(segs) == 1, (name, segs)
+            start, end = segs[0]
+            # same expectations as test_concurrent_clients on the unsharded
+            # engine: the sharded tick must produce the same segmentation
+            assert 0.5 < start < 1.6 and 2.5 < end < 3.6, (name, segs)
+    finally:
+        srv._stop.set()
+        sock.close()
+
+
 def test_server_checkpoint_resume(testdata):
     """Drain → save → restart → bit-identical continuation, including a
     segment that closed before the save and is held as the pending merge

@@ -50,6 +50,7 @@ class VadServer:
         fast: bool = False,
         precision: str | None = None,
         sequence_count: int = 1536,
+        shard: bool | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -72,6 +73,24 @@ class VadServer:
             precision = "fast" if fast else "faithful"
         self.runner = StreamRunner(self.family, params, precision=precision)
         self.state = self.runner.init_state(self.n)
+        # Multi-device serving: shard the SLOT axis over all local devices
+        # (pure stream-DP, like ShardedStreamRunner — streams never
+        # communicate). Auto-enabled when >1 device is present and
+        # max_streams divides evenly; slots are device-resident, the host
+        # only moves each tick's [n, chunk] audio and [n] probabilities.
+        devices = jax.devices()
+        if shard is None:
+            shard = len(devices) > 1 and self.n % len(devices) == 0
+        self.mesh = None
+        if shard:
+            if self.n % len(devices):
+                raise ValueError(
+                    f"max_streams {self.n} must divide evenly over "
+                    f"{len(devices)} devices to shard"
+                )
+            from vadc_tpu.engine.shard import make_stream_mesh
+
+            self.mesh = make_stream_mesh()
         self.cfg = SegmenterConfig.from_ms(chunk_samples=self.chunk)
         self.fsm = native.NativeFsm(
             self.n,
@@ -107,7 +126,6 @@ class VadServer:
 
         step = functools.partial(_step, self.runner.module, self.family)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
         def tick(params, batch, state, active, reset):
             # Reset recycled slots BEFORE the step: a slot whose first audio
             # chunk arrives in the same tick as its reset request must be
@@ -143,8 +161,28 @@ class VadServer:
             )
             return probs, merged
 
-        self._tick = tick
-        self._params = self.runner.params
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from vadc_tpu.engine.shard import STREAM_AXIS
+
+            replicated = NamedSharding(self.mesh, P())
+            b0 = NamedSharding(self.mesh, P(STREAM_AXIS))
+            b1 = NamedSharding(self.mesh, P(None, STREAM_AXIS))  # h/c [L,B,H]
+            state_sh = StreamState(
+                b1, b1, b0 if self.state.context is not None else None
+            )
+            self._tick = jax.jit(
+                tick,
+                donate_argnums=(2,),
+                in_shardings=(replicated, b0, state_sh, b0, b0),
+                out_shardings=(b0, state_sh),
+            )
+            self._params = jax.device_put(self.runner.params, replicated)
+        else:
+            self._tick = jax.jit(tick, donate_argnums=(2,))
+            self._params = self.runner.params
 
     # ---- client lifecycle -------------------------------------------------
 
@@ -374,6 +412,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--precision", choices=("faithful", "balanced", "fast", "turbo"),
                    default=None)
     p.add_argument("--sequence_count", type=int, default=1536)
+    p.add_argument("--shard", action=argparse.BooleanOptionalAction, default=None,
+                   help="shard slots over all local devices (default: auto — "
+                        "on when >1 device and max_streams divides evenly)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="restore a server checkpoint; saved slots continue "
                         "their streams when clients reconnect")
@@ -386,6 +427,7 @@ def main(argv: list[str] | None = None) -> int:
         fast=args.fast,
         precision=args.precision,
         sequence_count=args.sequence_count,
+        shard=args.shard,
     )
     if args.resume:
         server.restore_checkpoint(args.resume)
