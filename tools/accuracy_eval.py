@@ -1,0 +1,189 @@
+"""VAD detection-accuracy evaluation against known ground truth.
+
+Scores the FULL pipeline (model + hysteresis segmentation, the exact CLI
+path) on synthesized utterance tracks whose voiced intervals are known
+exactly (vadc_tpu/io/synthaudio.py). Two scores:
+
+* frame-level precision/recall/F1 at 10 ms resolution, with a NIST-style
+  boundary collar (frames within ±collar of a true boundary are excluded —
+  hysteresis and ±speech_pad make exact edges undefined by design);
+* segment-level precision/recall (detected <-> truth matched at IoU ≥ 0.5).
+
+The reference has no accuracy evaluation at all (its e2e test compares
+probabilities against its own recorded outputs, test.c:2027-2196); this
+tool measures detection QUALITY, and doubles as the tier-regression check:
+every precision tier must score identically at the default operating point
+(on-chip max probability deviation vs faithful on this material: balanced
+5e-4, fast 7e-3, turbo 2.7e-2 — small vs the ~0.5 threshold margins).
+Note the material matters: this harness is what exposed the bf16-STFT x
+log1p amplification (see functional._stft_precision); utterance_track's
+default aspiration floor keeps the front-end well-conditioned, and
+breath=0 reproduces the pathological pure-harmonic stress case where
+probabilities are not comparable across tiers (or implementations).
+
+Usage: python tools/accuracy_eval.py [--utterances 20] [--seed 0]
+         [--precision faithful] [--model PATH] [--collar_ms 200] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FRAME_S = 0.01
+
+
+def frame_labels(
+    intervals: list[tuple[float, float]], total_s: float
+) -> np.ndarray:
+    n = int(round(total_s / FRAME_S))
+    lab = np.zeros(n, bool)
+    for s, e in intervals:
+        lab[int(round(s / FRAME_S)) : int(round(e / FRAME_S))] = True
+    return lab
+
+
+def collar_mask(
+    truth: list[tuple[float, float]], total_s: float, collar_s: float
+) -> np.ndarray:
+    """True for frames that COUNT (outside ±collar of any true boundary)."""
+    n = int(round(total_s / FRAME_S))
+    keep = np.ones(n, bool)
+    for s, e in truth:
+        for b in (s, e):
+            lo = max(0, int(round((b - collar_s) / FRAME_S)))
+            hi = min(n, int(round((b + collar_s) / FRAME_S)))
+            keep[lo:hi] = False
+    return keep
+
+
+def score_frames(
+    truth: list[tuple[float, float]],
+    detected: list[tuple[float, float]],
+    total_s: float,
+    collar_s: float,
+) -> dict:
+    t = frame_labels(truth, total_s)
+    d = frame_labels(detected, total_s)
+    keep = collar_mask(truth, total_s, collar_s)
+    t, d = t[keep], d[keep]
+    tp = int((t & d).sum())
+    fp = int((~t & d).sum())
+    fn = int((t & ~d).sum())
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "frame_precision": round(prec, 4),
+        "frame_recall": round(rec, 4),
+        "frame_f1": round(f1, 4),
+        "frames_scored": int(keep.sum()),
+        "frames_excluded_collar": int((~keep).sum()),
+    }
+
+
+def score_segments(
+    truth: list[tuple[float, float]], detected: list[tuple[float, float]]
+) -> dict:
+    def iou(a, b):
+        inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+        union = max(a[1], b[1]) - min(a[0], b[0])
+        return inter / union if union else 0.0
+
+    matched_t: set[int] = set()
+    matched_d: set[int] = set()
+    for di, d in enumerate(detected):
+        best, best_i = 0.0, -1
+        for ti, t in enumerate(truth):
+            if ti in matched_t:
+                continue
+            v = iou(d, t)
+            if v > best:
+                best, best_i = v, ti
+        if best >= 0.5:
+            matched_t.add(best_i)
+            matched_d.add(di)
+    prec = len(matched_d) / len(detected) if detected else 1.0
+    rec = len(matched_t) / len(truth) if truth else 1.0
+    return {
+        "segments_truth": len(truth),
+        "segments_detected": len(detected),
+        "segments_matched": len(matched_t),
+        "segment_precision": round(prec, 4),
+        "segment_recall": round(rec, 4),
+    }
+
+
+def evaluate(
+    *,
+    n_utterances: int = 20,
+    seed: int = 0,
+    precision: str = "faithful",
+    model: str | None = None,
+    collar_ms: float = 200.0,
+) -> dict:
+    from vadc_tpu import api
+    from vadc_tpu.io.synthaudio import utterance_track
+
+    audio, truth = utterance_track(n_utterances, seed=seed)
+    total_s = len(audio) / 16000.0
+    detected = api.detect_speech_samples(
+        audio, precision=precision, model=model
+    )
+    out = {
+        "utterances": n_utterances,
+        "seed": seed,
+        "precision": precision,
+        "audio_seconds": round(total_s, 2),
+        "collar_ms": collar_ms,
+    }
+    out.update(score_frames(truth, detected, total_s, collar_ms / 1000.0))
+    out.update(score_segments(truth, detected))
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--utterances", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", default="faithful",
+                   choices=("faithful", "balanced", "fast", "turbo"))
+    p.add_argument("--all_tiers", action="store_true",
+                   help="evaluate every tier and assert identical decisions")
+    p.add_argument("--model", default=None)
+    p.add_argument("--collar_ms", type=float, default=200.0)
+    args = p.parse_args()
+
+    from vadc_tpu.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    if args.all_tiers:
+        results = {
+            tier: evaluate(
+                n_utterances=args.utterances, seed=args.seed,
+                precision=tier, model=args.model, collar_ms=args.collar_ms,
+            )
+            for tier in ("faithful", "balanced", "fast", "turbo")
+        }
+        keys = ("frame_f1", "segment_precision", "segment_recall")
+        agree = all(
+            all(results[t][k] == results["faithful"][k] for k in keys)
+            for t in results
+        )
+        print(json.dumps({"tiers": results, "tiers_agree": agree}, indent=2))
+        return 0 if agree else 1
+    print(json.dumps(evaluate(
+        n_utterances=args.utterances, seed=args.seed,
+        precision=args.precision, model=args.model, collar_ms=args.collar_ms,
+    ), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
