@@ -7,6 +7,9 @@ Checks, each against its XLA oracle at the stated bound:
   * kernels/lstm.lstm_decoder_fused    — parity 1e-5
   * kernels/silero_v31_fused2d         — parity 1e-5 (fp32) incl. state carry
   * models/silero_v31 fast-vs-faithful — probability deviation <= 2e-2
+  * speechlike-material tier ladder    — balanced/fast/turbo deviation on
+    synthaudio speech (mid-range logits; catches STFT-conditioning
+    regressions the white-noise probes cannot)
   * per-op golden fidelity on TPU      — every op <= 1e-4 incl. the LSTM
     accumulation tier (<= 1e-3, the reference's full-model tier)
 
@@ -188,6 +191,29 @@ def main() -> int:
         float(np.abs(np.asarray(p1) - np.asarray(p3)).max()),
         1e-4,
     )
+
+    # ---- speechlike-material tier ladder ----
+    # White-noise probes saturate the decoder and hide the bf16-STFT x
+    # log1p amplification (functional._stft_precision); this material has
+    # mid-range logits and a realistic -54 dB aspiration floor. Measured
+    # r3 medians: balanced 5.4e-4, fast 7.4e-3, turbo 2.7e-2.
+    from vadc_tpu.io.synthaudio import utterance_track
+
+    speech, _ = utterance_track(4, seed=0)
+    n_sp = len(speech) // 1536
+    sp_chunks = jnp.asarray(speech[: n_sp * 1536].reshape(1, n_sp, 1536))
+    turbo = StreamRunner("v3", params, precision="turbo")
+    sp = {}
+    for name, r in (("faithful", faithful), ("balanced", balanced),
+                    ("fast", fast), ("turbo", turbo)):
+        p, _ = r.scan(sp_chunks, r.init_state(1))
+        sp[name] = np.asarray(p[0], np.float64)
+    check("speech_balanced_vs_faithful",
+          float(np.abs(sp["balanced"] - sp["faithful"]).max()), 3e-3)
+    check("speech_fast_vs_faithful",
+          float(np.abs(sp["fast"] - sp["faithful"]).max()), 3e-2)
+    check("speech_turbo_vs_faithful",
+          float(np.abs(sp["turbo"] - sp["faithful"]).max()), 1e-1)
 
     # ---- per-op golden fidelity on the real chip ----
     from pathlib import Path

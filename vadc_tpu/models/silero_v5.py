@@ -76,7 +76,8 @@ def encode(
     (channels-last throughout). The 8 kHz branch uses half-rate STFT
     geometry (pad 32, hop 64, n_fft 128)."""
     x = F.stft_magnitude_nlc(
-        audio, params["stft_basis"], pad_left=0, pad_right=pad_right, hop=hop
+        audio, params["stft_basis"], pad_left=0, pad_right=pad_right, hop=hop,
+        log_sensitive=False,  # spectrum feeds convs directly (no log1p)
     )
     # turbo tier: encoder activations bf16-resident (no-op otherwise)
     x = x.astype(F.compute_dtype())

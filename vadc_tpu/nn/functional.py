@@ -74,12 +74,18 @@ VPU_ATTENTION_AT_HIGHEST = True
 #:   balanced — bf16_3x matmuls: ~0.83 ms at ~2e-5 max probability
 #:              deviation vs faithful — still inside the reference's
 #:              1e-4 per-op tier.
-#:   fast     — single-pass bf16: ~0.5 ms at ~4e-4 deviation
-#:              (decision-compatible with the 0.5/0.35 hysteresis).
-#:   turbo    — fast + bf16-RESIDENT encoder activations (the LSTM, decoder,
-#:              adaptive norm, and all recurrent state stay fp32). Trades
-#:              places with fast on v3 (narrow channels) within chip
-#:              variance; a 50-60% win on v4/v5's wide-channel encoders.
+#:   fast     — single-pass bf16 matmuls EXCEPT the v3/v4 STFT, which runs
+#:              at HIGH because the adaptive norm's log1p amplifies the
+#:              bf16 spectral noise floor on real speech material (see
+#:              _stft_precision): ~0.68 ms at ≤~0.02 max probability
+#:              deviation on speechlike input (~4e-4 on broadband probes).
+#:   turbo    — single-pass bf16 throughout + bf16-RESIDENT encoder
+#:              activations (the LSTM, decoder, adaptive norm, and all
+#:              recurrent state stay fp32). Max throughput (~0.47 ms);
+#:              probability deviation up to ~0.04 on speechlike input,
+#:              decision-compatible with the 0.5/0.35 hysteresis
+#:              (tools/accuracy_eval.py scores every tier identically at
+#:              the segment level).
 PRECISION_MODES = {
     "faithful": (lax.Precision.HIGHEST, jnp.float32),
     "balanced": (lax.Precision.HIGH, jnp.float32),
@@ -146,6 +152,32 @@ def reflect_pad_last(x: jax.Array, left: int, right: int) -> jax.Array:
     return jnp.pad(x, pad, mode="reflect")
 
 
+def _stft_precision(log_sensitive: bool):
+    """(matmul precision, cast-operands-to-bf16) for the STFT of the active
+    tier.
+
+    Single-pass bf16 puts a broadband rounding floor ~-48 dB under the
+    spectrum. Harmless where the spectrum feeds convs directly (v5), but
+    v3/v4's adaptive normalization applies log1p(2^20 * mag), whose slope at
+    near-zero bins turns that floor into O(1) FEATURE errors on any material
+    with deep spectral nulls between harmonics — i.e. on speech, the thing a
+    VAD runs on (white-noise probes never expose it; measured on-chip with
+    synthaudio speech: max probability deviation 0.041 vs faithful at a
+    -60 dB acoustic noise floor, 0.79 on pure harmonics). Splitting either
+    operand alone does not help (measured: the hi*lo cross terms carry the
+    correction), so the 'fast' tier runs this one einsum at HIGH (bf16_3x)
+    with fp32 operands: deviation halves to 0.020 / 0.29, costing
+    ~0.48->0.68 ms/chunk-step at batch 2048. 'turbo' keeps the single-pass
+    bf16 STFT: it IS the documented max-throughput tier, decisions stay
+    hysteresis-compatible (accuracy_eval), and the deviation is recorded in
+    docs/PERFORMANCE.md."""
+    if _PRECISION != lax.Precision.DEFAULT:
+        return _PRECISION, False
+    if not log_sensitive or _COMPUTE_DTYPE == jnp.bfloat16:
+        return _PRECISION, True
+    return lax.Precision.HIGH, False
+
+
 def stft_magnitude(
     audio: jax.Array,
     basis: jax.Array,
@@ -153,6 +185,7 @@ def stft_magnitude(
     pad_left: int,
     pad_right: int,
     hop: int,
+    log_sensitive: bool = True,
 ) -> jax.Array:
     """Short-time Fourier magnitude via a Fourier-basis conv1d.
 
@@ -167,7 +200,8 @@ def stft_magnitude(
     """
     n_filters, n_fft = basis.shape
     cutoff = n_fft // 2 + 1
-    if _PRECISION == lax.Precision.DEFAULT:
+    precision, cast_bf16 = _stft_precision(log_sensitive)
+    if cast_bf16:
         # see stft_magnitude_nlc: identical on TPU (MXU rounds DEFAULT
         # operands to bf16 anyway), halves the framing traffic
         audio = audio.astype(jnp.bfloat16)
@@ -178,7 +212,7 @@ def stft_magnitude(
         "bfn,cn->bcf",
         frames,
         basis,
-        precision=_PRECISION,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
     real = spec[:, :cutoff, :]
@@ -588,7 +622,8 @@ def lstm_minibatched(
 
 
 def stft_magnitude_nlc(
-    audio: jax.Array, basis: jax.Array, *, pad_left: int, pad_right: int, hop: int
+    audio: jax.Array, basis: jax.Array, *, pad_left: int, pad_right: int,
+    hop: int, log_sensitive: bool = True
 ) -> jax.Array:
     """STFT magnitude, frames-major: [B, F, cutoff].
 
@@ -599,18 +634,18 @@ def stft_magnitude_nlc(
     kernel where frames would otherwise be materialized in VMEM.)"""
     n_filters, n_fft = basis.shape
     cutoff = n_fft // 2 + 1
-    if _PRECISION == lax.Precision.DEFAULT:
+    precision, cast_bf16 = _stft_precision(log_sensitive)
+    if cast_bf16:
         # On TPU, DEFAULT-precision matmuls round their operands to bf16 on
         # the MXU anyway, so casting the audio BEFORE pad/frame is
         # numerically IDENTICAL there (measured bit-equal probabilities) and
         # halves the framing's HBM traffic: -21 us/chunk-step at batch 2048.
         # On backends whose DEFAULT matmul is full fp32 (CPU) this cast DOES
-        # introduce bf16 input rounding — accepted: it keeps fast-tier
-        # numerics identical across backends and sits well inside the tier's
-        # documented ~4e-4 deviation. The spectrum itself stays fp32
-        # (preferred_element_type) — a bf16 spectrum measured SLOWER
-        # (downstream fp32 magnitude upcasts). Not applied to 'balanced':
-        # bf16_3x needs fp32 operands to split into hi/lo terms.
+        # introduce bf16 input rounding — accepted: it keeps tier numerics
+        # identical across backends (and lets CPU tests reproduce the
+        # log-amplification effect _stft_precision documents). The spectrum
+        # itself stays fp32 (preferred_element_type) — a bf16 spectrum
+        # measured SLOWER (downstream fp32 magnitude upcasts).
         audio = audio.astype(jnp.bfloat16)
         basis = basis.astype(jnp.bfloat16)
     padded = reflect_pad_last(audio, pad_left, pad_right)
@@ -635,7 +670,7 @@ def stft_magnitude_nlc(
         "bfn,cn->bfc",
         frames,
         basis,
-        precision=_PRECISION,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
     real = spec[:, :, :cutoff]
