@@ -50,8 +50,10 @@ def speech_probabilities(
     """Per-chunk speech probabilities for 16 kHz mono float32 samples.
 
     precision: 'faithful' (fp32 fidelity contract), 'balanced' (bf16_3x,
-    ~2e-5 deviation), 'fast' (bf16 matmuls, ~4e-4), or 'turbo' (fast +
-    bf16-resident encoder, ~4e-4). See docs/PERFORMANCE.md for throughput."""
+    ~5e-4 max deviation on speech material), 'fast' (bf16 matmuls with a
+    HIGH-precision STFT, ~7e-3), or 'turbo' (all-bf16 + bf16-resident
+    encoder, ~3e-2; max throughput). All tiers make identical segment
+    decisions (tools/accuracy_eval.py); see docs/PERFORMANCE.md."""
     import jax.numpy as jnp
 
     runner, seq = _get_runner(model, sequence_count, precision)
@@ -107,6 +109,7 @@ def stream_segments(
     *,
     model: str | None = None,
     sequence_count: int = 1536,
+    precision: str = "faithful",
     min_silence_ms: float = 200.0,
     min_speech_ms: float = 250.0,
     threshold: float = 0.5,
@@ -126,7 +129,8 @@ def stream_segments(
     enable_persistent_compilation_cache()
     family, params = load_params(resolve_weights_path(model))
     seq = clamp_sequence_count(family, sequence_count)
-    runner = MinibatchRunner(family, params, batch_size=WINDOW_CHUNKS, chunk_samples=seq)
+    runner = MinibatchRunner(family, params, batch_size=WINDOW_CHUNKS,
+                             chunk_samples=seq, precision=precision)
     config = SegmenterConfig.from_ms(
         chunk_samples=seq,
         min_silence_ms=min_silence_ms,
