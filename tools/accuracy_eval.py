@@ -22,7 +22,8 @@ breath=0 reproduces the pathological pure-harmonic stress case where
 probabilities are not comparable across tiers (or implementations).
 
 Usage: python tools/accuracy_eval.py [--utterances 20] [--seed 0]
-         [--precision faithful] [--model PATH] [--collar_ms 200] [--json]
+         [--precision faithful | --all_tiers] [--model PATH]
+         [--collar_ms 200] [--sr 16000|8000]
 """
 
 from __future__ import annotations
@@ -127,12 +128,13 @@ def evaluate(
     precision: str = "faithful",
     model: str | None = None,
     collar_ms: float = 200.0,
+    sample_rate: int = 16000,
 ) -> dict:
     from vadc_tpu import api
     from vadc_tpu.io.synthaudio import utterance_track
 
-    audio, truth = utterance_track(n_utterances, seed=seed)
-    total_s = len(audio) / 16000.0
+    audio, truth = utterance_track(n_utterances, seed=seed, sr=sample_rate)
+    total_s = len(audio) / sample_rate
     detected = api.detect_speech_samples(
         audio, precision=precision, model=model
     )
@@ -140,6 +142,7 @@ def evaluate(
         "utterances": n_utterances,
         "seed": seed,
         "precision": precision,
+        "sample_rate": sample_rate,
         "audio_seconds": round(total_s, 2),
         "collar_ms": collar_ms,
     }
@@ -158,6 +161,8 @@ def main() -> int:
                    help="evaluate every tier and assert identical decisions")
     p.add_argument("--model", default=None)
     p.add_argument("--collar_ms", type=float, default=200.0)
+    p.add_argument("--sr", type=int, default=16000, choices=(16000, 8000),
+                   help="generator sample rate (8000 for the *_8k families)")
     args = p.parse_args()
 
     from vadc_tpu.runtime import enable_persistent_compilation_cache
@@ -168,6 +173,7 @@ def main() -> int:
             tier: evaluate(
                 n_utterances=args.utterances, seed=args.seed,
                 precision=tier, model=args.model, collar_ms=args.collar_ms,
+                sample_rate=args.sr,
             )
             for tier in ("faithful", "balanced", "fast", "turbo")
         }
@@ -181,6 +187,7 @@ def main() -> int:
     print(json.dumps(evaluate(
         n_utterances=args.utterances, seed=args.seed,
         precision=args.precision, model=args.model, collar_ms=args.collar_ms,
+        sample_rate=args.sr,
     ), indent=2))
     return 0
 
