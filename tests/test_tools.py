@@ -70,3 +70,23 @@ def test_validate_v5_harness(tmp_path):
     assert result.returncode == 0, result.stdout + result.stderr
     assert "V5 VALIDATION PASSED" in result.stdout
     assert result.stdout.count("Hz branch") == 2
+
+
+def test_accuracy_eval_end_to_end():
+    """Detection accuracy on ground-truth synthetic speech through the
+    full api pipeline (the reference has no accuracy evaluation at all).
+    turbo exercises the bf16 fast path incl. the bf16 STFT casts; fast
+    exercises the HIGH-precision STFT route (functional._stft_precision).
+    Perfect scores are expected: the default material sits inside the
+    model's operating point by construction (synthaudio docstring)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import accuracy_eval as ae
+    finally:
+        sys.path.pop(0)
+
+    for tier in ("turbo", "fast"):
+        r = ae.evaluate(n_utterances=3, seed=7, precision=tier)
+        assert r["frame_f1"] == 1.0, (tier, r)
+        assert r["segment_precision"] == 1.0 and r["segment_recall"] == 1.0, (
+            tier, r)
