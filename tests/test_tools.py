@@ -90,3 +90,18 @@ def test_accuracy_eval_end_to_end():
         assert r["frame_f1"] == 1.0, (tier, r)
         assert r["segment_precision"] == 1.0 and r["segment_recall"] == 1.0, (
             tier, r)
+
+
+def test_accuracy_threshold_sweep():
+    """One model pass, 13 host-side operating points: the F1>=0.99 plateau
+    must span at least [0.3, 0.7] — the decision margin that makes tier
+    probability deviations (<=~3e-2) irrelevant away from plateau edges."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import accuracy_eval as ae
+    finally:
+        sys.path.pop(0)
+
+    r = ae.sweep_thresholds(n_utterances=3, seed=7, precision="turbo")
+    lo, hi = r["plateau_f1_0.99"]
+    assert lo <= 0.3 and hi >= 0.7, r["points"]

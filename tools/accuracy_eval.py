@@ -151,6 +151,59 @@ def evaluate(
     return out
 
 
+def sweep_thresholds(
+    *,
+    n_utterances: int = 20,
+    seed: int = 0,
+    precision: str = "faithful",
+    model: str | None = None,
+    collar_ms: float = 200.0,
+    sample_rate: int = 16000,
+    thresholds=tuple(round(0.20 + 0.05 * i, 2) for i in range(13)),
+) -> dict:
+    """Score the full operating-point range on ONE set of probabilities.
+
+    The model runs once; each threshold re-runs only the host-side
+    hysteresis FSM (CLI semantics: neg_threshold_relative scales with the
+    threshold). The width of the F1>=0.99 plateau is the decision margin
+    that makes tier probability deviations (<=2.7e-2 turbo) irrelevant
+    away from the plateau edges."""
+    from vadc_tpu import api
+    from vadc_tpu.cli.segmenter import SegmenterConfig, segment_probabilities
+    from vadc_tpu.io.synthaudio import utterance_track
+
+    audio, truth = utterance_track(n_utterances, seed=seed, sr=sample_rate)
+    total_s = len(audio) / sample_rate
+    probs = api.speech_probabilities(
+        audio, precision=precision, model=model
+    )
+    runner, seq = api._get_runner(model, 1536, precision)
+    window = getattr(runner.module, "WINDOW_SAMPLES", seq)
+    emit = len(audio) // window
+    points = []
+    for t in thresholds:
+        config = SegmenterConfig.from_ms(
+            chunk_samples=window,
+            sample_rate=getattr(runner.module, "SAMPLE_RATE", sample_rate),
+            threshold=t,
+        )
+        detected = segment_probabilities(probs[:emit], config)
+        row = {"threshold": t}
+        row.update(score_frames(truth, detected, total_s, collar_ms / 1000.0))
+        row.update(score_segments(truth, detected))
+        points.append(row)
+    ok = [p["threshold"] for p in points if p["frame_f1"] >= 0.99
+          and p["segment_precision"] == 1.0 and p["segment_recall"] == 1.0]
+    return {
+        "utterances": n_utterances,
+        "seed": seed,
+        "precision": precision,
+        "sample_rate": sample_rate,
+        "points": points,
+        "plateau_f1_0.99": [min(ok), max(ok)] if ok else None,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--utterances", type=int, default=20)
@@ -159,6 +212,9 @@ def main() -> int:
                    choices=("faithful", "balanced", "fast", "turbo"))
     p.add_argument("--all_tiers", action="store_true",
                    help="evaluate every tier and assert identical decisions")
+    p.add_argument("--sweep", action="store_true",
+                   help="score the 0.20-0.80 threshold range on one set of "
+                        "probabilities; reports the F1>=0.99 plateau")
     p.add_argument("--model", default=None)
     p.add_argument("--collar_ms", type=float, default=200.0)
     p.add_argument("--sr", type=int, default=16000, choices=(16000, 8000),
@@ -168,6 +224,13 @@ def main() -> int:
     from vadc_tpu.runtime import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    if args.sweep:
+        print(json.dumps(sweep_thresholds(
+            n_utterances=args.utterances, seed=args.seed,
+            precision=args.precision, model=args.model,
+            collar_ms=args.collar_ms, sample_rate=args.sr,
+        ), indent=2))
+        return 0
     if args.all_tiers:
         results = {
             tier: evaluate(
