@@ -227,6 +227,19 @@ def _main(argv: list[str] | None = None) -> int:
         seq = runner.chunk_samples
         print(f"Running with sequence count {seq} (graph-executor backend)",
               file=sys.stderr)
+    if args.raw_probabilities and args.precision in ("fast", "turbo"):
+        # config decision to stderr, reference discipline (vadc.c:700-753):
+        # segment output is tier-robust (measured decision margin spans
+        # thresholds 0.2-0.8) but raw probabilities deviate on speech
+        # material — up to ~7e-3 (fast) / ~3e-2 (turbo) vs fp32
+        print(
+            f"note: --raw_probabilities at --precision {args.precision}: "
+            "probabilities deviate up to "
+            f"{'~7e-3' if args.precision == 'fast' else '~3e-2'} vs fp32 on "
+            "speech material (docs/PERFORMANCE.md); use balanced or "
+            "faithful for probability-faithful output",
+            file=sys.stderr,
+        )
     # 8 kHz branch families time chunks (and decode input) at their own rate
     model_sr = getattr(runner.module, "SAMPLE_RATE", SAMPLE_RATE)
     seg_config = SegmenterConfig.from_ms(
