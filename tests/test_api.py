@@ -116,3 +116,27 @@ def test_fast_math_bounded_deviation(testdata):
     dev = float(np.abs(np.asarray(p1) - np.asarray(p2)).max())
     # bf16 matmuls shift probabilities but must stay decision-compatible
     assert dev < 0.05, dev
+
+
+def test_detect_speech_wav_file(testdata, tmp_path):
+    """detect_speech on a .wav path uses the native decoder (no ffmpeg
+    in this environment — this path working at all proves it)."""
+    import wave
+
+    from vadc_tpu.io.pcm import f32_to_s16le
+
+    sil = (np.random.default_rng(0).normal(size=16000) * 0.001).astype(np.float32)
+    audio = np.concatenate([sil, _speechlike(2.0), sil])
+    path = tmp_path / "speech.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(f32_to_s16le(audio))
+
+    segs = api.detect_speech(
+        path, model=str(testdata / "silero_v31_16k.testtensor")
+    )
+    assert len(segs) == 1
+    start, end = segs[0]
+    assert 0.5 < start < 1.6 and 2.6 < end < 3.6, segs

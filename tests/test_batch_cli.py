@@ -51,3 +51,46 @@ def test_batch_cli_end_to_end(tmp_path, capsys, testdata):
     assert start < 0.5 and end > 1.0, (start, end)
     # file C: no segments
     assert paths[2] not in by_file
+
+
+def test_batch_cli_accepts_wav_files(tmp_path, capsys, testdata):
+    """The corpus CLI takes .wav files interchangeably with raw s16le —
+    here the same material once raw and once as a 44.1 kHz wav (native
+    resample) must segment identically to within one chunk."""
+    import struct
+
+    from vadc_tpu.cli import batch
+
+    sil = lambda d, sr: (
+        np.random.default_rng(1).normal(size=int(d * sr)) * 0.001
+    ).astype(np.float32)
+    raw = np.concatenate([sil(1, 16000), _speechlike(2), sil(1, 16000)])
+    p_raw = tmp_path / "x.s16le"
+    p_raw.write_bytes(f32_to_s16le(raw))
+
+    hi = np.concatenate(
+        [sil(1, 44100), _speechlike(2, sr=44100), sil(1, 44100)]
+    )
+    pcm = np.clip(hi * 32768, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 2, 2, 16)
+    p_wav = tmp_path / "x.wav"
+    p_wav.write_bytes(
+        b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+    rc = batch.main(
+        [str(p_raw), str(p_wav),
+         "--model", str(testdata / "silero_v31_16k.testtensor")]
+    )
+    assert rc == 0
+    by_file = {}
+    for line in capsys.readouterr().out.strip().splitlines():
+        path, seg = line.split("\t")
+        by_file.setdefault(path, []).append(
+            tuple(map(float, seg.split(",")))
+        )
+    assert len(by_file[str(p_raw)]) == len(by_file[str(p_wav)]) == 1
+    (rs, re), (ws, we) = by_file[str(p_raw)][0], by_file[str(p_wav)][0]
+    assert abs(rs - ws) <= 0.097 and abs(re - we) <= 0.097

@@ -1,0 +1,260 @@
+"""Native WAV ingestion: header parsing, codec decode, downmix, resample,
+and the CLI file path that uses it.
+
+The reference has no container parsing at all — `vadc <file>` spawns
+ffmpeg (vadc.c:531-608). io/wav.py absorbs the wav slice of that role
+natively; these tests pin the format corners (bit depths, float,
+extensible, chunk skipping, malformed files) against hand-built fixtures.
+"""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from vadc_tpu.io.wav import (
+    WavFormatError,
+    WavSource,
+    _decode_frames,
+    is_riff_wave,
+    read_wav_header,
+)
+
+
+def _wav_bytes(
+    pcm: bytes,
+    *,
+    tag: int = 1,
+    channels: int = 1,
+    sr: int = 16000,
+    bits: int = 16,
+    pre_data_chunks: bytes = b"",
+    data_size: int | None = None,
+    extensible: bool = False,
+) -> bytes:
+    if extensible:
+        sub = struct.pack("<H", tag) + b"\x00\x00" + bytes(12)
+        fmt_body = (
+            struct.pack(
+                "<HHIIHH", 0xFFFE, channels, sr,
+                sr * channels * bits // 8, channels * bits // 8, bits,
+            )
+            + struct.pack("<HHI", 22, bits, 0x3)
+            + sub
+        )
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", tag, channels, sr,
+            sr * channels * bits // 8, channels * bits // 8, bits,
+        )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + pre_data_chunks
+        + b"data"
+        + struct.pack("<I", len(pcm) if data_size is None else data_size)
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _write(tmp_path, name, blob):
+    p = tmp_path / name
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_magic_sniff():
+    assert is_riff_wave(b"RIFF\x00\x00\x00\x00WAVE")
+    assert not is_riff_wave(b"RIFF\x00\x00\x00\x00AVI ")
+    assert not is_riff_wave(b"\x00\x01" * 6)
+    assert not is_riff_wave(b"RIFF")  # short
+
+
+def test_header_parse_and_chunk_skip():
+    pcm = b"\x01\x00" * 10
+    lst = b"LIST" + struct.pack("<I", 9) + b"INFOhello"  # odd size: pad byte
+    blob = _wav_bytes(pcm, pre_data_chunks=lst + b"\x00")
+    fmt = read_wav_header(io.BytesIO(blob))
+    assert (fmt.format_tag, fmt.channels, fmt.sample_rate, fmt.bits_per_sample) == (1, 1, 16000, 16)
+    assert fmt.data_bytes == len(pcm)
+
+
+def test_extensible_unwrap():
+    blob = _wav_bytes(b"\x01\x00" * 4, tag=1, extensible=True)
+    fmt = read_wav_header(io.BytesIO(blob))
+    assert fmt.format_tag == 1
+    assert fmt.bits_per_sample == 16
+
+
+def test_streamed_data_size_reads_to_eof(tmp_path):
+    pcm = np.arange(-50, 50, dtype="<i2").tobytes()
+    blob = _wav_bytes(pcm, data_size=0xFFFFFFFF)
+    path = _write(tmp_path, "streamed.wav", blob)
+    with WavSource(path) as s:
+        assert s.read(-1) == pcm
+
+
+@pytest.mark.parametrize(
+    "blob,msg",
+    [
+        (b"RIFX" + bytes(20), "not a RIFF"),
+        (b"RIFF\x10\x00\x00\x00WAVEjunk", "no 'fmt ' chunk"),
+        (
+            b"RIFF\x20\x00\x00\x00WAVE"
+            + b"data" + struct.pack("<I", 4) + bytes(4),
+            "'data' chunk before 'fmt '",
+        ),
+        (_wav_bytes(b"", tag=2), "unsupported wav codec"),  # ADPCM
+        (_wav_bytes(b"", channels=0), "zero channels"),
+    ],
+)
+def test_malformed_files_one_line_diagnosis(blob, msg):
+    with pytest.raises(WavFormatError, match=msg):
+        read_wav_header(io.BytesIO(blob))
+
+
+def test_passthrough_bit_exact(tmp_path):
+    rng = np.random.default_rng(3)
+    pcm = (rng.integers(-32768, 32768, 16000)).astype("<i2").tobytes()
+    path = _write(tmp_path, "t16.wav", _wav_bytes(pcm))
+    with WavSource(path) as s:
+        assert s.format.sample_rate == 16000
+        assert s.read(-1) == pcm
+
+
+def test_read_block_sizes_equal_read_all(tmp_path):
+    rng = np.random.default_rng(4)
+    x = (0.3 * rng.normal(size=44100)).astype("<f4")
+    blob = _wav_bytes(x.tobytes(), tag=3, sr=44100, bits=32)
+    path = _write(tmp_path, "f441.wav", blob)
+    with WavSource(path) as s:
+        one = s.read(-1)
+    with WavSource(path) as s:
+        parts = []
+        while True:
+            b = s.read(int(rng.integers(1, 5000)))
+            if not b:
+                break
+            parts.append(b)
+        two = b"".join(parts)
+    assert one == two
+    # duration contract: 44100 in -> 16000 out (1 second each)
+    assert len(one) == 2 * 16000
+
+
+def test_stereo_downmix_is_channel_mean():
+    left = np.array([0.5, -0.5, 0.25], np.float32)
+    right = np.array([0.1, 0.3, -0.25], np.float32)
+    inter = np.stack([left, right], 1).astype("<f4").tobytes()
+    from vadc_tpu.io.wav import WavFormat
+
+    fmt = WavFormat(3, 2, 16000, 32, len(inter))
+    mono = _decode_frames(inter, fmt)
+    np.testing.assert_allclose(mono, (left + right) / 2, rtol=1e-6)
+
+
+def test_bit_depth_decodes():
+    from vadc_tpu.io.wav import WavFormat
+
+    # 24-bit: value 0x400000 = +0.5, 0xC00000 (sign ext) = -0.5
+    raw24 = bytes([0x00, 0x00, 0x40, 0x00, 0x00, 0xC0])
+    out = _decode_frames(raw24, WavFormat(1, 1, 16000, 24, 6))
+    np.testing.assert_allclose(out, [0.5, -0.5])
+    # 8-bit unsigned: 128 = 0, 255 ~ +1, 0 = -1
+    out = _decode_frames(bytes([128, 255, 0]), WavFormat(1, 1, 16000, 8, 3))
+    np.testing.assert_allclose(out, [0.0, 127 / 128, -1.0])
+    # 32-bit int
+    raw32 = np.array([2**30, -(2**31)], "<i4").tobytes()
+    out = _decode_frames(raw32, WavFormat(1, 1, 16000, 32, 8))
+    np.testing.assert_allclose(out, [0.5, -1.0])
+    # float64
+    raw64 = np.array([0.125, -0.75], "<f8").tobytes()
+    out = _decode_frames(raw64, WavFormat(3, 1, 16000, 64, 16))
+    np.testing.assert_allclose(out, [0.125, -0.75])
+
+
+def test_start_seconds_skips_input_frames(tmp_path):
+    pcm = np.arange(32000, dtype="<i2").tobytes()  # 2 s ramp at 16 kHz
+    path = _write(tmp_path, "seek.wav", _wav_bytes(pcm))
+    with WavSource(path, start_seconds=1.0) as s:
+        out = s.read(-1)
+    assert out == pcm[32000:]  # skipped exactly 16000 frames
+
+
+def _synthetic_speech(sr: int) -> np.ndarray:
+    """Same speech-shaped signal as test_cli_e2e, at an arbitrary rate."""
+    def _voiced(dur, f0):
+        t = np.arange(int(dur * sr)) / sr
+        sig = np.zeros_like(t)
+        for k in range(1, 25):
+            f = k * f0
+            w = (
+                np.exp(-(((f - 500) / 400) ** 2))
+                + 0.7 * np.exp(-(((f - 1500) / 500) ** 2))
+                + 0.3 * np.exp(-(((f - 2500) / 700) ** 2))
+            )
+            sig += w * np.sin(2 * np.pi * f * t + k)
+        sig *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t - np.pi / 2))
+        return 0.3 * sig / np.abs(sig).max()
+
+    def _sil(dur):
+        return 0.001 * np.random.default_rng(1).normal(size=int(dur * sr))
+
+    return np.concatenate(
+        [_sil(2), _voiced(3, 120), _sil(2), _voiced(3, 180), _sil(2)]
+    ).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_cli_wav_segments_match_stdin(monkeypatch, capsys, tmp_path):
+    """The full CLI on a 48 kHz stereo float wav finds the same speech
+    segments as raw 16 kHz s16le of the same material on stdin — the
+    capability the reference only has through ffmpeg."""
+    from vadc_tpu.cli import main as cli_main
+
+    audio48 = _synthetic_speech(48000)
+    stereo = np.stack([audio48, 0.5 * audio48], 1).astype("<f4")
+    wav_path = _write(
+        tmp_path, "speech48.wav",
+        _wav_bytes(stereo.tobytes(), tag=3, channels=2, sr=48000, bits=32),
+    )
+    rc = cli_main.main([wav_path])
+    assert rc == 0
+    wav_out = capsys.readouterr().out.strip().splitlines()
+
+    audio16 = _synthetic_speech(16000)
+    pcm = np.clip(audio16 * 32768, -32768, 32767).astype("<i2").tobytes()
+
+    class _Stdin:
+        def __init__(self, b):
+            self.buffer = io.BytesIO(b)
+
+    monkeypatch.setattr(cli_main.sys, "stdin", _Stdin(pcm))
+    rc = cli_main.main([])
+    assert rc == 0
+    ref_out = capsys.readouterr().out.strip().splitlines()
+
+    assert len(wav_out) == len(ref_out) == 2
+    for got, ref in zip(wav_out, ref_out):
+        g = tuple(map(float, got.split(",")))
+        r = tuple(map(float, ref.split(",")))
+        # material was independently sampled at each rate; allow one
+        # 96 ms chunk of slack per boundary
+        assert abs(g[0] - r[0]) <= 0.097 and abs(g[1] - r[1]) <= 0.097
+
+
+def test_wave_stdlib_roundtrip(tmp_path):
+    """Files written by Python's own wave module parse and decode."""
+    path = tmp_path / "std.wav"
+    x = (np.sin(2 * np.pi * 440 * np.arange(8000) / 8000) * 20000).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(x.tobytes())
+    with WavSource(str(path)) as s:
+        assert s.format.sample_rate == 8000
+        out = np.frombuffer(s.read(-1), "<i2")
+    assert len(out) == 16000  # 8k -> 16k doubles the sample count

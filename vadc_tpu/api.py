@@ -157,12 +157,23 @@ def detect_speech(
     start_seconds: float = 0.0,
     **kwargs,
 ) -> list[tuple[float, float]]:
-    """Speech segments for any media file (decoded via ffmpeg)."""
-    from vadc_tpu.io.ffmpeg import FFmpegSource
+    """Speech segments for any media file (.wav decoded natively with
+    downmix/resample; anything else via ffmpeg)."""
     from vadc_tpu.io.pcm import s16le_to_f32
+    from vadc_tpu.io.wav import WavSource, is_riff_wave
 
-    with FFmpegSource(
-        str(filename), audio_source=audio_source, start_seconds=start_seconds
-    ) as stream:
-        samples = s16le_to_f32(stream.read())
+    with open(filename, "rb") as probe:
+        head = probe.read(12)
+    if is_riff_wave(head):
+        with WavSource(str(filename), start_seconds=start_seconds) as stream:
+            samples = s16le_to_f32(stream.read(-1))
+    else:
+        from vadc_tpu.io.ffmpeg import FFmpegSource
+
+        with FFmpegSource(
+            str(filename),
+            audio_source=audio_source,
+            start_seconds=start_seconds,
+        ) as stream:
+            samples = s16le_to_f32(stream.read())
     return detect_speech_samples(samples, **kwargs)

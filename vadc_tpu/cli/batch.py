@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_streams(paths: list[str], chunk_samples: int) -> tuple[np.ndarray, np.ndarray]:
+def load_streams(
+    paths: list[str], chunk_samples: int, sample_rate: int = 16000
+) -> tuple[np.ndarray, np.ndarray]:
     """Load s16le files into a zero-padded [B, T_max, chunk] grid.
     Returns (chunk grid, per-stream valid chunk counts).
 
@@ -59,9 +61,11 @@ def load_streams(paths: list[str], chunk_samples: int) -> tuple[np.ndarray, np.n
     per slab. Through a remote-device tunnel the host->device copy is the
     corpus bottleneck, and int16 halves the bytes; it also skips a
     whole-corpus float conversion on the host."""
-    audios = [
-        np.frombuffer(Path(p).read_bytes(), dtype="<i2") for p in paths
-    ]
+    from vadc_tpu.io.wav import read_file_s16
+
+    # raw s16le or .wav (sniffed by magic; wav decodes/downmixes/resamples
+    # natively — the reference needs ffmpeg for any container input)
+    audios = [read_file_s16(p, target_rate=sample_rate) for p in paths]
     valid = np.asarray(
         [int(len(a) / chunk_samples) if len(a) % chunk_samples == 0
          else int(len(a) / chunk_samples) + 1 for a in audios],
@@ -112,7 +116,10 @@ def _main(argv: list[str] | None = None) -> int:
     seq = clamp_sequence_count(family, int(args.sequence_count))
 
     t0 = time.perf_counter()
-    grid, valid = load_streams(args.files, seq)
+    # 8 kHz branch families take 8 kHz input (raw files are presumed at
+    # the model rate, as on the streaming CLI; wav files resample to it)
+    file_sr = 8000 if family.endswith("_8k") else 16000
+    grid, valid = load_streams(args.files, seq, sample_rate=file_sr)
     n_files, t_chunks = grid.shape[:2]
 
     mesh = make_stream_mesh()

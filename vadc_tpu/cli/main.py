@@ -1,5 +1,6 @@
-"""vadc-compatible command line: s16le PCM (stdin or any media file via
-ffmpeg) in, speech-segment timestamps on stdout.
+"""vadc-compatible command line: audio in (s16le PCM on stdin, .wav decoded
+natively, any other media file via ffmpeg), speech-segment timestamps on
+stdout.
 
 Flag surface matches the reference exactly (option table vadc.c:1110-1124):
 
@@ -36,6 +37,7 @@ from vadc_tpu.io.pcm import (
     s16le_to_f32,
 )
 from vadc_tpu.io.ffmpeg import FFmpegSource
+from vadc_tpu.io.wav import WavFormatError, WavSource, is_riff_wave
 
 # Window of chunks processed per refill (reference vadc.c:799: 96 chunks).
 WINDOW_CHUNKS = 96
@@ -51,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
         "(Silero VAD v3.1/v4/v5).",
     )
     p.add_argument("filename", nargs="?", default=None,
-                   help="input media file (decoded via ffmpeg); omit to read "
-                        "raw s16le 16 kHz mono PCM from stdin")
+                   help="input media file (.wav decoded natively with "
+                        "resampling/downmix; anything else via ffmpeg); omit "
+                        "to read raw s16le 16 kHz mono PCM from stdin")
     p.add_argument("--min_silence", type=float, default=200.0,
                    help="minimum silence duration in ms to close a segment")
     p.add_argument("--min_speech", type=float, default=250.0,
@@ -313,14 +316,60 @@ def _main(argv: list[str] | None = None) -> int:
             stats.print_line()
 
     if args.filename:
-        source = FFmpegSource(
-            args.filename,
-            audio_source=args.audio_source,
-            start_seconds=args.start_seconds,
-            sample_rate=model_sr,
-        )
-        with source as stream:
-            run(stream, eof_error_check=source.eof_error_kind)
+        try:
+            with open(args.filename, "rb") as probe:
+                head = probe.read(12)
+        except OSError as e:
+            # the reference latches CantOpenFile for an unreadable input
+            # (vadc.c:404-414); same kind, same stderr discipline
+            print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+            return 1
+        if is_riff_wave(head):
+            # native WAV path — no ffmpeg needed (the reference decodes
+            # every container through a spawned ffmpeg, vadc.c:531-608)
+            if args.audio_source:
+                print(
+                    "note: --audio_source ignored for wav input "
+                    "(single audio stream)",
+                    file=sys.stderr,
+                )
+            try:
+                wav = WavSource(
+                    args.filename,
+                    target_rate=model_sr,
+                    start_seconds=args.start_seconds,
+                )
+                with wav as stream:
+                    f = wav.format
+                    print(
+                        f"wav input: {f.sample_rate} Hz, {f.channels} ch, "
+                        f"{f.bits_per_sample}-bit "
+                        f"{'float' if f.format_tag == 3 else 'pcm'} "
+                        f"-> {model_sr} Hz mono (native decode)",
+                        file=sys.stderr,
+                    )
+                    run(stream)
+            except WavFormatError as e:
+                print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+                return 1
+        else:
+            source = FFmpegSource(
+                args.filename,
+                audio_source=args.audio_source,
+                start_seconds=args.start_seconds,
+                sample_rate=model_sr,
+            )
+            try:
+                with source as stream:
+                    run(stream, eof_error_check=source.eof_error_kind)
+            except FileNotFoundError:
+                print(
+                    "Error: BS_Error_CantOpenFile (ffmpeg not found — "
+                    "non-wav inputs need ffmpeg on PATH; .wav decodes "
+                    "natively)",
+                    file=sys.stderr,
+                )
+                return 1
     else:
         run(sys.stdin.buffer)
 

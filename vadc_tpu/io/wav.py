@@ -1,0 +1,270 @@
+"""Native RIFF/WAVE ingestion.
+
+The reference can only ingest raw s16le PCM directly; every container
+format goes through a spawned ffmpeg (`vadc.c:531-608`). This module
+makes `vadc file.wav` work with no external decoder: it parses the RIFF
+chunk list, decodes the common PCM encodings, downmixes to mono, and
+resamples to the model rate (io/resample.py) — presenting the result as
+the same read()-able stream of mono s16le bytes the ingest loop already
+consumes, so everything downstream of the Buffered_Stream is unchanged.
+
+Supported encodings: PCM 8-bit unsigned, 16/24/32-bit signed, IEEE
+float32/float64, and WAVE_FORMAT_EXTENSIBLE wrapping any of those. Any
+other codec (ADPCM, mp3-in-wav, ...) raises WavFormatError with a
+one-line diagnosis naming the tag — those still need ffmpeg.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import BinaryIO
+
+import numpy as np
+
+from vadc_tpu.io.resample import PolyphaseResampler
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# decodable (format_tag, bits) -> numpy dtype of the container
+_CODECS = {
+    (WAVE_FORMAT_PCM, 8): np.uint8,  # 8-bit wav is unsigned, offset 128
+    (WAVE_FORMAT_PCM, 16): np.dtype("<i2"),
+    (WAVE_FORMAT_PCM, 24): None,  # no 24-bit dtype; widened by hand
+    (WAVE_FORMAT_PCM, 32): np.dtype("<i4"),
+    (WAVE_FORMAT_IEEE_FLOAT, 32): np.dtype("<f4"),
+    (WAVE_FORMAT_IEEE_FLOAT, 64): np.dtype("<f8"),
+}
+
+
+class WavFormatError(ValueError):
+    pass
+
+
+@dataclass
+class WavFormat:
+    format_tag: int
+    channels: int
+    sample_rate: int
+    bits_per_sample: int
+    data_bytes: int  # size of the data chunk; may exceed the actual file
+
+    @property
+    def bytes_per_frame(self) -> int:
+        return self.channels * self.bits_per_sample // 8
+
+
+def is_riff_wave(head: bytes) -> bool:
+    """Magic sniff over the first 12 bytes."""
+    return len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+
+
+def read_wav_header(stream: BinaryIO) -> WavFormat:
+    """Parse the RIFF chunk list up to and including the 'data' chunk
+    header, leaving the stream positioned at the first audio byte.
+
+    Tolerates the chunks real encoders emit (fact, LIST, cue, bext, ...)
+    by skipping them; requires fmt before data, as the spec does."""
+    head = stream.read(12)
+    if not is_riff_wave(head):
+        raise WavFormatError("not a RIFF/WAVE file")
+    fmt: WavFormat | None = None
+    while True:
+        hdr = stream.read(8)
+        if len(hdr) < 8:
+            raise WavFormatError(
+                "no 'data' chunk" if fmt else "no 'fmt ' chunk"
+            )
+        cid, size = struct.unpack("<4sI", hdr)
+        if cid == b"fmt ":
+            body = stream.read(size)
+            if len(body) < 16:
+                raise WavFormatError("truncated 'fmt ' chunk")
+            tag, ch, sr, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag == WAVE_FORMAT_EXTENSIBLE:
+                # SubFormat GUID starts with the real 16-bit tag
+                if len(body) < 26:
+                    raise WavFormatError("truncated extensible 'fmt ' chunk")
+                (ext_size,) = struct.unpack("<H", body[16:18])
+                if ext_size < 22 or len(body) < 40:
+                    raise WavFormatError("truncated extensible 'fmt ' chunk")
+                (_valid_bits,) = struct.unpack("<H", body[18:20])
+                (tag,) = struct.unpack("<H", body[24:26])
+            if ch < 1:
+                raise WavFormatError("zero channels")
+            fmt = WavFormat(tag, ch, sr, bits, 0)
+        elif cid == b"data":
+            if fmt is None:
+                raise WavFormatError("'data' chunk before 'fmt '")
+            # size 0 / 0xFFFFFFFF: stream-written files; read until EOF
+            fmt.data_bytes = (
+                size if size not in (0, 0xFFFFFFFF) else (1 << 62)
+            )
+            if (fmt.format_tag, fmt.bits_per_sample) not in _CODECS:
+                raise WavFormatError(
+                    f"unsupported wav codec (format_tag={fmt.format_tag}, "
+                    f"bits={fmt.bits_per_sample}); decode with ffmpeg"
+                )
+            return fmt
+        else:
+            # skip unknown chunk (word-aligned: odd sizes carry a pad byte)
+            stream.seek(size + (size & 1), 1)
+
+
+def _decode_frames(raw: bytes, fmt: WavFormat) -> np.ndarray:
+    """Raw interleaved frames -> float32 mono in [-1, 1] (channel mean —
+    the same downmix ffmpeg's `-ac 1` pan performs)."""
+    bpf = fmt.bytes_per_frame
+    usable = len(raw) - len(raw) % bpf
+    if usable == 0:
+        return np.empty(0, np.float32)
+    raw = raw[:usable]
+    key = (fmt.format_tag, fmt.bits_per_sample)
+    if key == (WAVE_FORMAT_PCM, 24):
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = (x ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+        samples = x.astype(np.float32) / 8388608.0
+    else:
+        x = np.frombuffer(raw, _CODECS[key])
+        if key == (WAVE_FORMAT_PCM, 8):
+            samples = (x.astype(np.float32) - 128.0) / 128.0
+        elif key == (WAVE_FORMAT_PCM, 16):
+            samples = x.astype(np.float32) / 32768.0
+        elif key == (WAVE_FORMAT_PCM, 32):
+            samples = x.astype(np.float32) / 2147483648.0
+        else:  # float32/float64
+            samples = x.astype(np.float32)
+    if fmt.channels > 1:
+        samples = samples.reshape(-1, fmt.channels).mean(axis=1)
+    return samples
+
+
+def _quantize_s16le(samples: np.ndarray) -> bytes:
+    """Quantize to the pipeline's wire format (the inverse of the ingest
+    /32768 contract), rounding and clipping like ffmpeg's s16 packer.
+    (Distinct from pcm.f32_to_s16le, a truncating test helper.)"""
+    scaled = np.rint(np.asarray(samples, np.float32) * 32768.0)
+    return np.clip(scaled, -32768, 32767).astype("<i2").tobytes()
+
+
+def read_file_s16(path, target_rate: int = 16000) -> np.ndarray:
+    """Whole-file convenience loader: returns mono s16 samples at
+    target_rate from either a RIFF/WAVE file (native decode/downmix/
+    resample) or a raw s16le file (sniffed by magic). Used by the batch
+    corpus CLI and the Python API so every file-taking surface accepts
+    .wav uniformly."""
+    with open(path, "rb") as fh:
+        head = fh.read(12)
+    if is_riff_wave(head):
+        with WavSource(str(path), target_rate=target_rate) as src:
+            return np.frombuffer(src.read(-1), "<i2")
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    return np.frombuffer(raw[: len(raw) - len(raw) % 2], "<i2")
+
+
+class WavSource:
+    """Context manager yielding a read()-able stream of mono s16le at
+    target_rate — the drop-in counterpart of FFmpegSource for .wav files.
+
+    The 16 kHz mono s16 fast path is a pure byte passthrough (bit-exact
+    with feeding the payload on stdin); everything else goes through
+    decode -> downmix -> polyphase resample -> s16 quantize, block by
+    block, so arbitrarily long files stream in constant memory.
+
+    start_seconds seeks in input frames (the reference delegates this to
+    ffmpeg's -ss, vadc.c:537-538)."""
+
+    _BLOCK_FRAMES = 65536
+
+    def __init__(
+        self,
+        filename: str,
+        *,
+        target_rate: int = 16000,
+        start_seconds: float = 0.0,
+    ):
+        self._filename = filename
+        self._target_rate = int(target_rate)
+        self._start_seconds = float(start_seconds)
+        self._fh: BinaryIO | None = None
+
+    def __enter__(self) -> "WavSource":
+        fh = open(self._filename, "rb")
+        try:
+            self._fmt = read_wav_header(fh)
+        except Exception:
+            fh.close()
+            raise
+        self._fh = fh
+        fmt = self._fmt
+        self._left = fmt.data_bytes
+        if self._start_seconds > 0:
+            skip = int(self._start_seconds * fmt.sample_rate)
+            skip_bytes = min(skip * fmt.bytes_per_frame, fmt.data_bytes)
+            fh.seek(skip_bytes, 1)
+            self._left -= skip_bytes
+        self._passthrough = (
+            fmt.format_tag == WAVE_FORMAT_PCM
+            and fmt.bits_per_sample == 16
+            and fmt.channels == 1
+            and fmt.sample_rate == self._target_rate
+        )
+        if not self._passthrough:
+            self._resampler = PolyphaseResampler(
+                fmt.sample_rate, self._target_rate
+            )
+        self._out = bytearray()
+        self._eof = False
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    @property
+    def format(self) -> WavFormat:
+        return self._fmt
+
+    def _pump(self) -> None:
+        """Decode one input block into the output byte buffer."""
+        assert self._fh is not None
+        want = min(self._left, self._BLOCK_FRAMES * self._fmt.bytes_per_frame)
+        raw = self._fh.read(want) if want > 0 else b""
+        if raw:
+            self._left -= len(raw)
+        if self._passthrough:
+            if raw:
+                self._out += raw
+            else:
+                self._eof = True
+            return
+        if raw:
+            mono = _decode_frames(raw, self._fmt)
+            self._out += _quantize_s16le(self._resampler.process(mono))
+        else:
+            self._out += _quantize_s16le(self._resampler.flush())
+            self._eof = True
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            while not self._eof:
+                self._pump()
+            out = bytes(self._out)
+            self._out.clear()
+            return out
+        while len(self._out) < n and not self._eof:
+            self._pump()
+        out = bytes(self._out[:n])
+        del self._out[:n]
+        return out
