@@ -258,3 +258,84 @@ def test_wave_stdlib_roundtrip(tmp_path):
         assert s.format.sample_rate == 8000
         out = np.frombuffer(s.read(-1), "<i2")
     assert len(out) == 16000  # 8k -> 16k doubles the sample count
+
+
+def test_prepend_stream_serves_head_first():
+    from vadc_tpu.io.wav import PrependStream
+
+    s = PrependStream(b"abcd", io.BytesIO(b"efgh"))
+    assert s.read(2) == b"ab"
+    assert s.read(3) == b"cde"
+    assert s.read(-1) == b"fgh"
+    assert s.read(4) == b""
+    assert not s.seekable()
+
+
+class _TrickleStream:
+    """A pipe that returns at most `chunk` bytes per read — exercises the
+    partial-frame carry (a multi-channel frame split across reads)."""
+
+    def __init__(self, data: bytes, chunk: int):
+        self._b = io.BytesIO(data)
+        self._chunk = chunk
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = self._chunk
+        return self._b.read(min(n, self._chunk))
+
+    def seekable(self):
+        return False
+
+
+def test_wav_source_on_nonseekable_trickle_stream(tmp_path):
+    """Stream decode over 3-byte pipe reads (splitting every stereo f32
+    frame) is byte-identical to the seekable file decode."""
+    rng = np.random.default_rng(7)
+    stereo = (0.2 * rng.normal(size=(4410, 2))).astype("<f4")
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    blob = _wav_bytes(
+        stereo.tobytes(), tag=3, channels=2, sr=44100, bits=32,
+        pre_data_chunks=lst,
+    )
+    path = _write(tmp_path, "trickle.wav", blob)
+    with WavSource(path) as s:
+        from_file = s.read(-1)
+    with WavSource(_TrickleStream(blob, 3)) as s:
+        from_pipe = s.read(-1)
+    assert from_file == from_pipe
+    assert len(from_file) == 2 * 1600  # 0.1 s at 16 kHz
+
+
+def test_wav_stream_start_seconds_discards_without_seek():
+    pcm = np.arange(16000, dtype="<i2").tobytes()
+    blob = _wav_bytes(pcm)
+    with WavSource(_TrickleStream(blob, 64), start_seconds=0.5) as s:
+        assert s.read(-1) == pcm[16000:]
+
+
+@pytest.mark.slow
+def test_cli_wav_on_stdin(monkeypatch, capsys, tmp_path):
+    """`vadc < file.wav` sniffs the RIFF magic on stdin and decodes
+    natively; segments match the same audio fed raw."""
+    from vadc_tpu.cli import main as cli_main
+
+    audio = _synthetic_speech(16000)
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2").tobytes()
+    blob = _wav_bytes(pcm)
+
+    class _Stdin:
+        def __init__(self, b):
+            self.buffer = io.BytesIO(b)
+
+    monkeypatch.setattr(cli_main.sys, "stdin", _Stdin(blob))
+    assert cli_main.main([]) == 0
+    captured = capsys.readouterr()
+    wav_out = captured.out.strip().splitlines()
+    assert "wav input on stdin" in captured.err
+
+    monkeypatch.setattr(cli_main.sys, "stdin", _Stdin(pcm))
+    assert cli_main.main([]) == 0
+    ref_out = capsys.readouterr().out.strip().splitlines()
+    # 16 kHz mono s16 wav payload is a bit-exact passthrough
+    assert wav_out == ref_out

@@ -37,7 +37,12 @@ from vadc_tpu.io.pcm import (
     s16le_to_f32,
 )
 from vadc_tpu.io.ffmpeg import FFmpegSource
-from vadc_tpu.io.wav import WavFormatError, WavSource, is_riff_wave
+from vadc_tpu.io.wav import (
+    PrependStream,
+    WavFormatError,
+    WavSource,
+    is_riff_wave,
+)
 
 # Window of chunks processed per refill (reference vadc.c:799: 96 chunks).
 WINDOW_CHUNKS = 96
@@ -371,7 +376,31 @@ def _main(argv: list[str] | None = None) -> int:
                 )
                 return 1
     else:
-        run(sys.stdin.buffer)
+        # stdin: raw s16le by contract, but a wav container is sniffable
+        # (RIFF magic in the first 12 bytes) and decodes natively — so
+        # `vadc < file.wav` and `cat file.wav | vadc` just work
+        head = sys.stdin.buffer.read(12)
+        if is_riff_wave(head):
+            try:
+                wav = WavSource(
+                    PrependStream(head, sys.stdin.buffer),
+                    target_rate=model_sr,
+                )
+                with wav as stream:
+                    f = wav.format
+                    print(
+                        f"wav input on stdin: {f.sample_rate} Hz, "
+                        f"{f.channels} ch, {f.bits_per_sample}-bit "
+                        f"{'float' if f.format_tag == 3 else 'pcm'} "
+                        f"-> {model_sr} Hz mono (native decode)",
+                        file=sys.stderr,
+                    )
+                    run(stream)
+            except WavFormatError as e:
+                print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+                return 1
+        else:
+            run(PrependStream(head, sys.stdin.buffer))
 
     if not args.raw_probabilities:
         for s, e in segmenter.finish():

@@ -22,6 +22,7 @@ from typing import BinaryIO
 
 import numpy as np
 
+from vadc_tpu.io.pcm import read_full
 from vadc_tpu.io.resample import PolyphaseResampler
 
 WAVE_FORMAT_PCM = 0x0001
@@ -67,19 +68,19 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
 
     Tolerates the chunks real encoders emit (fact, LIST, cue, bext, ...)
     by skipping them; requires fmt before data, as the spec does."""
-    head = stream.read(12)
+    head = read_full(stream, 12)
     if not is_riff_wave(head):
         raise WavFormatError("not a RIFF/WAVE file")
     fmt: WavFormat | None = None
     while True:
-        hdr = stream.read(8)
+        hdr = read_full(stream, 8)
         if len(hdr) < 8:
             raise WavFormatError(
                 "no 'data' chunk" if fmt else "no 'fmt ' chunk"
             )
         cid, size = struct.unpack("<4sI", hdr)
         if cid == b"fmt ":
-            body = stream.read(size)
+            body = read_full(stream, size)
             if len(body) < 16:
                 raise WavFormatError("truncated 'fmt ' chunk")
             tag, ch, sr, _brate, _balign, bits = struct.unpack(
@@ -111,8 +112,17 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
                 )
             return fmt
         else:
-            # skip unknown chunk (word-aligned: odd sizes carry a pad byte)
-            stream.seek(size + (size & 1), 1)
+            # skip unknown chunk (word-aligned: odd sizes carry a pad
+            # byte); read-discard rather than seek so pipes work too
+            _discard(stream, size + (size & 1))
+
+
+def _discard(stream: BinaryIO, nbytes: int) -> None:
+    while nbytes > 0:
+        got = stream.read(min(nbytes, 1 << 20))
+        if not got:
+            return
+        nbytes -= len(got)
 
 
 def _decode_frames(raw: bytes, fmt: WavFormat) -> np.ndarray:
@@ -156,6 +166,30 @@ def _quantize_s16le(samples: np.ndarray) -> bytes:
     return np.clip(scaled, -32768, 32767).astype("<i2").tobytes()
 
 
+class PrependStream:
+    """Serve pre-read sniff bytes back ahead of the underlying stream —
+    lets the CLI peek stdin's magic without losing the bytes (stdin pipes
+    cannot seek)."""
+
+    def __init__(self, head: bytes, stream: BinaryIO):
+        self._head = head
+        self._stream = stream
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out, self._head = self._head, b""
+                return out + self._stream.read(-1)
+            out, self._head = self._head[:n], self._head[n:]
+            if len(out) < n:
+                out += self._stream.read(n - len(out))
+            return out
+        return self._stream.read(n)
+
+    def seekable(self) -> bool:
+        return False
+
+
 def read_file_s16(path, target_rate: int = 16000) -> np.ndarray:
     """Whole-file convenience loader: returns mono s16 samples at
     target_rate from either a RIFF/WAVE file (native decode/downmix/
@@ -174,36 +208,42 @@ def read_file_s16(path, target_rate: int = 16000) -> np.ndarray:
 
 class WavSource:
     """Context manager yielding a read()-able stream of mono s16le at
-    target_rate — the drop-in counterpart of FFmpegSource for .wav files.
+    target_rate — the drop-in counterpart of FFmpegSource for .wav input.
 
-    The 16 kHz mono s16 fast path is a pure byte passthrough (bit-exact
-    with feeding the payload on stdin); everything else goes through
-    decode -> downmix -> polyphase resample -> s16 quantize, block by
-    block, so arbitrarily long files stream in constant memory.
+    Takes a filename (opened and owned) or an already-open binary stream
+    (borrowed — pipes and sockets work: chunk skipping and seeking are
+    read-based, and partial pipe reads that split a multi-channel frame
+    are carried to the next block). The 16 kHz mono s16 fast path is a
+    pure byte passthrough (bit-exact with feeding the payload on stdin);
+    everything else goes through decode -> downmix -> polyphase resample
+    -> s16 quantize, block by block, so arbitrarily long input streams
+    in constant memory.
 
-    start_seconds seeks in input frames (the reference delegates this to
+    start_seconds skips input frames (the reference delegates this to
     ffmpeg's -ss, vadc.c:537-538)."""
 
     _BLOCK_FRAMES = 65536
 
     def __init__(
         self,
-        filename: str,
+        source: str | BinaryIO,
         *,
         target_rate: int = 16000,
         start_seconds: float = 0.0,
     ):
-        self._filename = filename
+        self._source = source
+        self._owned = isinstance(source, (str, bytes))
         self._target_rate = int(target_rate)
         self._start_seconds = float(start_seconds)
         self._fh: BinaryIO | None = None
 
     def __enter__(self) -> "WavSource":
-        fh = open(self._filename, "rb")
+        fh = open(self._source, "rb") if self._owned else self._source
         try:
             self._fmt = read_wav_header(fh)
         except Exception:
-            fh.close()
+            if self._owned:
+                fh.close()
             raise
         self._fh = fh
         fmt = self._fmt
@@ -211,7 +251,10 @@ class WavSource:
         if self._start_seconds > 0:
             skip = int(self._start_seconds * fmt.sample_rate)
             skip_bytes = min(skip * fmt.bytes_per_frame, fmt.data_bytes)
-            fh.seek(skip_bytes, 1)
+            if fh.seekable():
+                fh.seek(skip_bytes, 1)
+            else:
+                _discard(fh, skip_bytes)
             self._left -= skip_bytes
         self._passthrough = (
             fmt.format_tag == WAVE_FORMAT_PCM
@@ -223,13 +266,15 @@ class WavSource:
             self._resampler = PolyphaseResampler(
                 fmt.sample_rate, self._target_rate
             )
+        self._pending = b""  # partial frame carried between pipe reads
         self._out = bytearray()
         self._eof = False
         return self
 
     def __exit__(self, *exc) -> None:
         if self._fh is not None:
-            self._fh.close()
+            if self._owned:
+                self._fh.close()
             self._fh = None
 
     @property
@@ -250,7 +295,11 @@ class WavSource:
                 self._eof = True
             return
         if raw:
-            mono = _decode_frames(raw, self._fmt)
+            raw = self._pending + raw
+            bpf = self._fmt.bytes_per_frame
+            cut = len(raw) - len(raw) % bpf
+            self._pending = raw[cut:]
+            mono = _decode_frames(raw[:cut], self._fmt)
             self._out += _quantize_s16le(self._resampler.process(mono))
         else:
             self._out += _quantize_s16le(self._resampler.flush())
