@@ -3,6 +3,9 @@
 # Equivalent of the reference's silenceremove.bat pipeline:
 #   detect speech segments -> build an aselect filterscript -> re-encode.
 #
+# For wav or raw PCM input no ffmpeg is needed at all — use the native
+# one-step tool instead:  python -m vadc_tpu.cli.cut noisy.wav clean.wav
+#
 # Usage: ./silenceremove.sh input.mp3 output.mp3
 set -euo pipefail
 

@@ -166,6 +166,19 @@ def _quantize_s16le(samples: np.ndarray) -> bytes:
     return np.clip(scaled, -32768, 32767).astype("<i2").tobytes()
 
 
+def write_wav(path, samples_s16: np.ndarray, sample_rate: int = 16000) -> None:
+    """Minimal 16-bit mono PCM wav writer (the parser's inverse) — lets
+    tools emit playable audio without ffmpeg (cli/cut.py)."""
+    pcm = np.asarray(samples_s16, "<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", WAVE_FORMAT_PCM, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<I", 16) + fmt)
+        fh.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
 class PrependStream:
     """Serve pre-read sniff bytes back ahead of the underlying stream —
     lets the CLI peek stdin's magic without losing the bytes (stdin pipes
