@@ -105,3 +105,36 @@ def test_accuracy_threshold_sweep():
     r = ae.sweep_thresholds(n_utterances=3, seed=7, precision="turbo")
     lo, hi = r["plateau_f1_0.99"]
     assert lo <= 0.3 and hi >= 0.7, r["points"]
+
+
+def test_accuracy_snr_robustness():
+    """Additive-noise robustness curve: detection must hold at moderate
+    SNR and degrade gracefully, and the noise mixer must calibrate SNR
+    against voiced-region power exactly."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import accuracy_eval as ae
+    finally:
+        sys.path.pop(0)
+
+    import numpy as np
+
+    from vadc_tpu.io.synthaudio import utterance_track
+
+    # calibration: measured SNR over voiced regions == requested
+    audio, truth = utterance_track(3, seed=7)
+    noisy = ae.mix_noise(audio, truth, 10.0, 16000, seed=5)
+    mask = np.zeros(len(audio), bool)
+    for s, e in truth:
+        mask[int(s * 16000) : int(e * 16000)] = True
+    p_sig = np.mean(audio[mask] ** 2)
+    p_noise = np.mean((noisy - audio) ** 2)
+    assert abs(10 * np.log10(p_sig / p_noise) - 10.0) < 0.2
+
+    r = ae.snr_sweep(
+        n_utterances=3, seed=7, precision="fast", snrs_db=(30.0, 10.0)
+    )
+    by_snr = {p["snr_db"]: p for p in r["points"]}
+    assert by_snr[30.0]["frame_f1"] == 1.0, r["points"]
+    assert by_snr[10.0]["frame_f1"] > 0.9, r["points"]
+    assert by_snr[10.0]["segment_recall"] >= 2 / 3, r["points"]

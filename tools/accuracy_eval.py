@@ -24,6 +24,7 @@ probabilities are not comparable across tiers (or implementations).
 Usage: python tools/accuracy_eval.py [--utterances 20] [--seed 0]
          [--precision faithful | --all_tiers] [--model PATH]
          [--collar_ms 200] [--sr 16000|8000]
+         [--snr_sweep [--noise_color white|pink]]   # robustness curve
 """
 
 from __future__ import annotations
@@ -204,6 +205,79 @@ def sweep_thresholds(
     }
 
 
+def mix_noise(
+    audio: np.ndarray,
+    truth: list[tuple[float, float]],
+    snr_db: float,
+    sr: int,
+    *,
+    seed: int = 99,
+    color: str = "white",
+) -> np.ndarray:
+    """Add calibrated noise over the WHOLE track. SNR is measured against
+    the mean power of the voiced regions only (the quantity a detector
+    actually competes with), so 0 dB means noise as loud as the speech."""
+    rng = np.random.default_rng(seed)
+    noise = rng.normal(size=len(audio)).astype(np.float32)
+    if color == "pink":
+        spec = np.fft.rfft(noise)
+        f = np.fft.rfftfreq(len(noise), 1.0 / sr)
+        f[0] = f[1]
+        spec /= np.sqrt(f)
+        noise = np.fft.irfft(spec, len(noise)).astype(np.float32)
+    mask = np.zeros(len(audio), bool)
+    for s, e in truth:
+        mask[int(s * sr) : int(e * sr)] = True
+    p_sig = float(np.mean(audio[mask] ** 2))
+    p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+    noise *= np.sqrt(p_noise / float(np.mean(noise**2)))
+    return (audio + noise).astype(np.float32)
+
+
+def snr_sweep(
+    *,
+    n_utterances: int = 20,
+    seed: int = 0,
+    precision: str = "faithful",
+    model: str | None = None,
+    collar_ms: float = 200.0,
+    sample_rate: int = 16000,
+    snrs_db=(30.0, 20.0, 15.0, 10.0, 5.0, 0.0),
+    color: str = "white",
+) -> dict:
+    """Detection quality vs additive-noise SNR — the robustness curve.
+
+    The reference has no such measurement; the published Silero models are
+    noise-trained, so the curve should stay near-perfect well below 20 dB
+    and roll off gracefully. Also doubles as a tier-robustness check under
+    adverse input: run with --precision turbo and compare."""
+    from vadc_tpu import api
+    from vadc_tpu.io.synthaudio import utterance_track
+
+    audio, truth = utterance_track(n_utterances, seed=seed, sr=sample_rate)
+    total_s = len(audio) / sample_rate
+    points = []
+    for snr in snrs_db:
+        noisy = mix_noise(
+            audio, truth, snr, sample_rate, seed=seed + 977, color=color
+        )
+        detected = api.detect_speech_samples(
+            noisy, precision=precision, model=model
+        )
+        row = {"snr_db": snr}
+        row.update(score_frames(truth, detected, total_s, collar_ms / 1000.0))
+        row.update(score_segments(truth, detected))
+        points.append(row)
+    return {
+        "utterances": n_utterances,
+        "seed": seed,
+        "precision": precision,
+        "sample_rate": sample_rate,
+        "noise_color": color,
+        "points": points,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--utterances", type=int, default=20)
@@ -215,6 +289,11 @@ def main() -> int:
     p.add_argument("--sweep", action="store_true",
                    help="score the 0.20-0.80 threshold range on one set of "
                         "probabilities; reports the F1>=0.99 plateau")
+    p.add_argument("--snr_sweep", action="store_true",
+                   help="score at additive-noise SNRs 30..0 dB (vs voiced-"
+                        "region power); the detection-robustness curve")
+    p.add_argument("--noise_color", default="white",
+                   choices=("white", "pink"))
     p.add_argument("--model", default=None)
     p.add_argument("--collar_ms", type=float, default=200.0)
     p.add_argument("--sr", type=int, default=16000, choices=(16000, 8000),
@@ -224,6 +303,14 @@ def main() -> int:
     from vadc_tpu.runtime import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    if args.snr_sweep:
+        print(json.dumps(snr_sweep(
+            n_utterances=args.utterances, seed=args.seed,
+            precision=args.precision, model=args.model,
+            collar_ms=args.collar_ms, sample_rate=args.sr,
+            color=args.noise_color,
+        ), indent=2))
+        return 0
     if args.sweep:
         print(json.dumps(sweep_thresholds(
             n_utterances=args.utterances, seed=args.seed,
