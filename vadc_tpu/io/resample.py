@@ -82,6 +82,11 @@ class PolyphaseResampler:
         phase_sums = h.reshape(K, self.L).sum(axis=0)
         h = (h.reshape(K, self.L) / phase_sums[None, :]).reshape(K * self.L)
         self._h = h.astype(np.float64)
+        # per-phase taps, REVERSED so a contiguous input window dots
+        # directly: y[m] = h_rev[p] . x[i_hi-K+1 : i_hi+1]
+        self._hrev = np.stack(
+            [h[p :: self.L][::-1] for p in range(self.L)]
+        ).astype(np.float64)
         self._K = K
         self._c = half
         # history carries the K-1 most recent input samples (zeros before
@@ -100,17 +105,20 @@ class PolyphaseResampler:
         count = m_stop - self._m
         if count <= 0:
             return np.empty(0, np.float32)
-        m = self._m + np.arange(count, dtype=np.int64)
-        q = m * self.M + self._c
-        i_hi = q // self.L  # newest input index touching output m
-        p = (q % self.L).astype(np.int64)
-        # tap t of phase p multiplies x[i_hi - t]
-        t = np.arange(self._K, dtype=np.int64)
-        tap_idx = p[:, None] + t[None, :] * self.L
-        src_idx = i_hi[:, None] - t[None, :] - base
-        y = np.einsum(
-            "ok,ok->o", self._h[tap_idx], buf[src_idx], optimize=True
-        )
+        m0, K, L, M = self._m, self._K, self.L, self.M
+        # windows[j] = buf[j : j+K]; output m uses the window ending at its
+        # newest input sample i_hi = (m*M + c) // L:
+        #   y[m] = hrev[(m*M + c) % L] . windows[i_hi - base - (K-1)]
+        # Outputs in the same residue class mod L share a phase and their
+        # windows advance by exactly M rows, so each class is ONE strided
+        # matvec (BLAS) instead of per-output index gathers.
+        windows = np.lib.stride_tricks.sliding_window_view(buf, K)
+        y = np.empty(count, np.float64)
+        for r in range(min(L, count)):
+            q = (m0 + r) * M + self._c
+            n_r = (count - r + L - 1) // L
+            i0 = q // L - base - (K - 1)
+            y[r::L] = windows[i0 : i0 + (n_r - 1) * M + 1 : M] @ self._hrev[q % L]
         self._m = m_stop
         return y.astype(np.float32)
 
