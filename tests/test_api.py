@@ -140,3 +140,20 @@ def test_detect_speech_wav_file(testdata, tmp_path):
     assert len(segs) == 1
     start, end = segs[0]
     assert 0.5 < start < 1.6 and 2.6 < end < 3.6, segs
+
+
+def test_cut_speech_samples(testdata):
+    from vadc_tpu.io.pcm import f32_to_s16le, s16le_to_f32
+
+    sil = (np.random.default_rng(0).normal(size=16000) * 0.001).astype(np.float32)
+    audio = s16le_to_f32(f32_to_s16le(
+        np.concatenate([sil, _speechlike(2.0), sil])
+    ))
+    kept = api.cut_speech_samples(
+        audio, model=str(testdata / "silero_v31_16k.testtensor")
+    )
+    assert 1.8 * 16000 < len(kept) < 2.7 * 16000
+    assert api.cut_speech_samples(
+        np.zeros(32000, np.float32),
+        model=str(testdata / "silero_v31_16k.testtensor"),
+    ).size == 0

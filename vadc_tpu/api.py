@@ -150,6 +150,23 @@ def stream_segments(
     yield from segmenter.finish()
 
 
+def cut_speech_samples(
+    samples: np.ndarray, *, sample_rate: int = 16000, **kwargs
+) -> np.ndarray:
+    """Concatenate only the speech ranges of 16 kHz mono float32 audio —
+    the library form of cli/cut.py. kwargs as detect_speech_samples."""
+    samples = np.asarray(samples, np.float32).ravel()
+    pieces = []
+    for start_s, end_s in detect_speech_samples(samples, **kwargs):
+        a = max(0, int(round(start_s * sample_rate)))
+        b = min(len(samples), int(round(end_s * sample_rate)))
+        if b > a:
+            pieces.append(samples[a:b])
+    if not pieces:
+        return np.empty(0, np.float32)
+    return np.concatenate(pieces)
+
+
 def detect_speech(
     filename: str | Path,
     *,
