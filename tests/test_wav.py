@@ -339,3 +339,13 @@ def test_cli_wav_on_stdin(monkeypatch, capsys, tmp_path):
     ref_out = capsys.readouterr().out.strip().splitlines()
     # 16 kHz mono s16 wav payload is a bit-exact passthrough
     assert wav_out == ref_out
+
+
+def test_wav_source_accepts_pathlib_path(tmp_path):
+    from pathlib import Path
+
+    pcm = np.arange(100, dtype="<i2").tobytes()
+    p = tmp_path / "p.wav"
+    p.write_bytes(_wav_bytes(pcm))
+    with WavSource(Path(p)) as s:  # PathLike, not str
+        assert s.read(-1) == pcm

@@ -16,6 +16,7 @@ one-line diagnosis naming the tag — those still need ffmpeg.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 from typing import BinaryIO
@@ -245,7 +246,7 @@ class WavSource:
         start_seconds: float = 0.0,
     ):
         self._source = source
-        self._owned = isinstance(source, (str, bytes))
+        self._owned = isinstance(source, (str, bytes, os.PathLike))
         self._target_rate = int(target_rate)
         self._start_seconds = float(start_seconds)
         self._fh: BinaryIO | None = None
