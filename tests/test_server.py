@@ -268,3 +268,57 @@ def test_churn_no_dropped_or_duplicated_segments(testdata):
     assert result["delivered_min"] == result["expected_segments_per_client"], result
     assert result["delivered_max"] == result["expected_segments_per_client"], result
     assert result["churn_clients"] > 0, "churn never ran"
+
+
+def test_wav_client_and_raw_client_agree(server, audio):
+    """A client streaming a 44.1 kHz wav container gets the same segments
+    as one streaming raw model-rate s16le of the same material — the
+    per-connection RIFF sniff + native decode path."""
+    import struct
+
+    port, _srv = server
+
+    sil441 = (
+        np.random.default_rng(0).normal(size=44100) * 0.001
+    ).astype(np.float32)
+    a441 = np.concatenate([sil441, _speechlike(2.0, sr=44100), sil441])
+    pcm441 = np.clip(a441 * 32768, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 2, 2, 16)
+    wav_blob = (
+        b"RIFF" + struct.pack("<I", 28 + len(pcm441)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm441)) + pcm441
+    )
+
+    raw_segs = _run_client(port, audio)
+    wav_segs = _run_client(port, wav_blob)
+    assert len(raw_segs) == len(wav_segs) == 1, (raw_segs, wav_segs)
+    (rs, re), (ws, we) = raw_segs[0], wav_segs[0]
+    # independently-sampled material: allow two 96 ms chunks per edge
+    # (the onset sits near a chunk boundary by construction)
+    assert abs(rs - ws) <= 0.2 and abs(re - we) <= 0.2
+
+
+def test_wav_client_slot_recycles(server, audio):
+    """After a wav client disconnects, its slot (and decode pipe) is
+    recycled and serves a raw client again."""
+    import struct
+    import time
+
+    port, srv = server
+    pcm = audio  # raw 16 kHz payload doubles as a wav data chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    segs = _run_client(port, blob)
+    assert len(segs) == 1
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and len(srv._free) < 2:
+        time.sleep(0.05)
+    assert len(srv._free) == 2
+    assert all(s is None or s.pipe_fd is None for s in srv.slots)
+    # the recycled slot serves a raw client
+    assert len(_run_client(port, pcm)) == 1

@@ -1,6 +1,8 @@
 """Multi-client VAD serving daemon.
 
-TCP line protocol: a client connects, streams raw 16 kHz mono s16le PCM, and
+TCP line protocol: a client connects, streams raw 16 kHz mono s16le PCM —
+or a wav container at any rate/bits/channels, sniffed by its RIFF magic and
+decoded natively per connection (`cat file.wav | nc host port` works) — and
 receives speech-segment events as `start,end\\n` (seconds, padded/merged —
 the CLI's output contract) while the stream is live. Half-closing the write
 side (or disconnecting) ends the stream; the server applies the EOF snap,
@@ -8,7 +10,9 @@ flushes the final segment, and reuses the slot.
 
 Architecture (the full serving composition):
   * client sockets are drained GIL-free by the native StreamPool into
-    per-stream chunk rings;
+    per-stream chunk rings (wav clients route through a per-connection
+    decoder thread feeding the pool via a pipe; raw clients stay
+    zero-copy on the native path);
   * one engine loop advances ALL active slots per tick in a single batched
     device call (LSTM state device-resident, masked so idle slots hold);
   * the segmentation FSM runs in the native C++ kernel with per-stream chunk
@@ -31,12 +35,15 @@ import numpy as np
 
 
 class _Slot:
-    __slots__ = ("conn", "pending", "done_sent")
+    __slots__ = ("conn", "pending", "done_sent", "pipe_fd")
 
     def __init__(self, conn: socket.socket):
         self.conn = conn
         self.pending: tuple[int, int] | None = None  # merged segment (chunks)
         self.done_sent = False
+        # wav clients: read end of the decode pipe the pool drains (the
+        # pool never closes fds; _finish_slot must)
+        self.pipe_fd: int | None = None
 
 
 class VadServer:
@@ -102,6 +109,11 @@ class VadServer:
         self.pool = native.StreamPool(self.n, self.chunk, ring_chunks=64)
         self.slots: list[_Slot | None] = [None] * self.n
         self._free = list(range(self.n))
+        # pool attachment gate: a slot's pool stream keeps the PREVIOUS
+        # client's drained/EOF state until add_fd resets it, and intake may
+        # delay add_fd by the sniff window — the engine must not finish a
+        # slot whose fd isn't attached yet
+        self._attached = np.zeros(self.n, bool)
         self._lock = threading.Lock()
         self._reset_requests: list[int] = []
         # slots restored from a checkpoint: the next client accepted on such
@@ -199,13 +211,81 @@ class VadServer:
                     continue
                 slot = self._free.pop()
                 self.slots[slot] = _Slot(conn)
+                self._attached[slot] = False
                 if slot in self._resume_slots:
                     # checkpoint continuation: keep LSTM/FSM state, re-attach
                     # the held pending segment, skip the reset
                     self.slots[slot].pending = self._resume_slots.pop(slot)
                 else:
                     self._reset_requests.append(slot)
+            # intake runs off-thread: it may block up to the sniff timeout
+            # peeking for a wav magic, and for wav clients it becomes the
+            # long-lived decoder; raw clients get their socket fd handed to
+            # the GIL-free pool untouched (the peek consumes nothing)
+            threading.Thread(
+                target=self._intake, args=(slot, conn), daemon=True
+            ).start()
+
+    def _intake(self, slot: int, conn: socket.socket) -> None:
+        """Sniff the client's first bytes: raw s16le goes straight to the
+        native pool; a RIFF/WAVE header routes through the native decoder
+        (any rate/bits/channels -> model-rate mono s16le) into a pipe the
+        pool drains — `cat file.wav | nc host port` just works."""
+        import os
+
+        from vadc_tpu.io.wav import WavFormatError, WavSource, is_riff_wave
+
+        head = b""
+        deadline = time.monotonic() + 2.0
+        try:
+            conn.settimeout(0.25)
+            while len(head) < 12 and time.monotonic() < deadline:
+                try:
+                    got = conn.recv(12, socket.MSG_PEEK)
+                except TimeoutError:
+                    continue
+                if not got:
+                    break  # connection closed before 12 bytes
+                if len(got) == len(head):
+                    time.sleep(0.02)  # live but no new bytes yet
+                head = got
+        except OSError:
+            pass
+        try:
+            conn.settimeout(None)
+        except OSError:
+            pass  # fd still drains below; the pool will observe its EOF
+        if not is_riff_wave(head):
             self.pool.add_fd(slot, conn.fileno())
+            self._attached[slot] = True
+            return
+        r, w = os.pipe()
+        with self._lock:
+            s = self.slots[slot]
+            if s is None or s.conn is not conn:  # recycled mid-sniff
+                os.close(r)
+                os.close(w)
+                return
+            s.pipe_fd = r
+        self.pool.add_fd(slot, r)
+        self._attached[slot] = True
+        target = getattr(self.runner.module, "SAMPLE_RATE", 16000)
+        try:
+            with WavSource(conn.makefile("rb"), target_rate=target) as src:
+                while True:
+                    data = src.read(1 << 16)
+                    if not data:
+                        break
+                    os.write(w, data)
+        except WavFormatError as e:
+            try:
+                conn.sendall(f"error: {e}\n".encode())
+            except OSError:
+                pass
+        except OSError:
+            pass  # client or pipe went away mid-stream
+        finally:
+            os.close(w)  # pool sees EOF -> drain tail -> slot recycles
 
     def _emit(self, slot: int, start_c: int, end_c: int, *, flush: bool = False) -> None:
         """Pad/merge like the CLI (vadc.c:262-299) and send to the client."""
@@ -270,6 +350,13 @@ class VadServer:
             except OSError:
                 pass
             s.conn.close()
+            if s.pipe_fd is not None:
+                import os
+
+                try:
+                    os.close(s.pipe_fd)  # wav decode pipe read end
+                except OSError:
+                    pass
         with self._lock:
             self.slots[slot] = None
             self._free.append(slot)
@@ -374,9 +461,14 @@ class VadServer:
                         self._emit(slot, start_c, end_c)
                         self.emit_latencies.append(time.perf_counter() - t_ev)
                     self.tick_times.append(time.perf_counter() - t0)
-            # finish streams whose sockets have drained
+            # finish streams whose sockets have drained (attached gate:
+            # an un-attached slot's pool state is the previous client's)
             for slot in range(self.n):
-                if self.slots[slot] is not None and self.pool.stream_done(slot):
+                if (
+                    self.slots[slot] is not None
+                    and self._attached[slot]
+                    and self.pool.stream_done(slot)
+                ):
                     self._finish_slot(slot)
             if not count:
                 time.sleep(0.002)
