@@ -75,7 +75,7 @@ def test_batch_cli_accepts_wav_files(tmp_path, capsys, testdata):
     fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 2, 2, 16)
     p_wav = tmp_path / "x.wav"
     p_wav.write_bytes(
-        b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )

@@ -104,3 +104,29 @@ def test_write_wav_roundtrip(tmp_path):
     with WavSource(str(path), target_rate=8000) as s:
         assert s.format.sample_rate == 8000
         assert np.array_equal(np.frombuffer(s.read(-1), "<i2"), samples)
+
+
+def test_cut_malformed_wav_one_line_error(tmp_path, capsys, testdata):
+    from vadc_tpu.cli import cut
+
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF\x10\x00\x00\x00WAVEjunk")
+    rc = cut.main(
+        [str(bad), str(tmp_path / "out.wav"),
+         "--model", str(testdata / "silero_v31_16k.testtensor")]
+    )
+    assert rc == 1
+    assert "BS_Error_CantOpenFile" in capsys.readouterr().err
+
+
+def test_cut_unwritable_output_fails_fast(tmp_path, capsys, testdata):
+    from vadc_tpu.cli import cut
+
+    src = tmp_path / "in.wav"
+    write_wav(src, np.zeros(1600, "<i2"))
+    rc = cut.main(
+        [str(src), str(tmp_path / "no" / "dir" / "out.wav"),
+         "--model", str(testdata / "silero_v31_16k.testtensor")]
+    )
+    assert rc == 1
+    assert "cannot write output" in capsys.readouterr().err

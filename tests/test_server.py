@@ -285,7 +285,7 @@ def test_wav_client_and_raw_client_agree(server, audio):
     pcm441 = np.clip(a441 * 32768, -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 2, 2, 16)
     wav_blob = (
-        b"RIFF" + struct.pack("<I", 28 + len(pcm441)) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 36 + len(pcm441)) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
         + b"data" + struct.pack("<I", len(pcm441)) + pcm441
     )
@@ -309,7 +309,7 @@ def test_wav_client_slot_recycles(server, audio):
     pcm = audio  # raw 16 kHz payload doubles as a wav data chunk
     fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
     blob = (
-        b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )

@@ -184,3 +184,23 @@ def test_cli_8k_family_times_at_model_rate(monkeypatch, capsys, tmp_path):
     assert rc == 0
     assert "Running with sequence count 256" in err
     assert len(out.strip().splitlines()) == 8000 // 256  # 31 chunks @ 8 kHz
+
+
+def test_cli_fifo_input_is_not_probed(tmp_path, capsys):
+    """A FIFO input path must reach ffmpeg with its bytes untouched: the
+    RIFF sniff only reads regular files. With no ffmpeg in this image the
+    FIFO path surfaces the one-line ffmpeg-not-found diagnosis WITHOUT
+    blocking on opening the pipe (no writer exists)."""
+    import os
+    import shutil
+
+    if shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg present; this asserts the no-ffmpeg diagnosis")
+    from vadc_tpu.cli import main as cli_main
+
+    fifo = tmp_path / "in.fifo"
+    os.mkfifo(fifo)
+    rc = cli_main.main([str(fifo)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "ffmpeg not found" in err

@@ -349,3 +349,22 @@ def test_wav_source_accepts_pathlib_path(tmp_path):
     p.write_bytes(_wav_bytes(pcm))
     with WavSource(Path(p)) as s:  # PathLike, not str
         assert s.read(-1) == pcm
+
+
+def test_write_wav_spec_compliant_riff_size(tmp_path):
+    """The RIFF size field must cover the full file minus 8 bytes —
+    strict readers (stdlib wave) bound the data chunk by it, so an
+    understated size silently truncates the tail."""
+    from vadc_tpu.io.wav import write_wav
+
+    samples = np.arange(1000, dtype="<i2")
+    path = tmp_path / "sz.wav"
+    write_wav(path, samples)
+    blob = path.read_bytes()
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+    assert riff_size == len(blob) - 8
+    with wave.open(str(path), "rb") as w:
+        assert w.getnframes() == 1000
+        assert np.array_equal(
+            np.frombuffer(w.readframes(1000), "<i2"), samples
+        )

@@ -179,10 +179,29 @@ def detect_speech(
     from vadc_tpu.io.pcm import s16le_to_f32
     from vadc_tpu.io.wav import WavSource, is_riff_wave
 
-    with open(filename, "rb") as probe:
-        head = probe.read(12)
+    import os
+    import stat
+
+    # magic-sniff only regular files: a FIFO/process-substitution input
+    # must reach ffmpeg with its bytes untouched (a probe read would
+    # consume them; reference behavior: the path goes straight to ffmpeg)
+    head = b""
+    if stat.S_ISREG(os.stat(filename).st_mode):
+        with open(filename, "rb") as probe:
+            head = probe.read(12)
+    # decode at the MODEL's rate (8 kHz families take 8 kHz input)
+    runner, _ = _get_runner(
+        kwargs.get("model"),
+        kwargs.get("sequence_count", 1536),
+        kwargs.get("precision", "faithful"),
+    )
+    model_sr = getattr(runner.module, "SAMPLE_RATE", 16000)
     if is_riff_wave(head):
-        with WavSource(str(filename), start_seconds=start_seconds) as stream:
+        with WavSource(
+            str(filename),
+            target_rate=model_sr,
+            start_seconds=start_seconds,
+        ) as stream:
             samples = s16le_to_f32(stream.read(-1))
     else:
         from vadc_tpu.io.ffmpeg import FFmpegSource
@@ -191,6 +210,7 @@ def detect_speech(
             str(filename),
             audio_source=audio_source,
             start_seconds=start_seconds,
+            sample_rate=model_sr,
         ) as stream:
             samples = s16le_to_f32(stream.read())
     return detect_speech_samples(samples, **kwargs)

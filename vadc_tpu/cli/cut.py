@@ -70,9 +70,19 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     model_sr = 8000 if family.endswith("_8k") else 16000
 
+    # fail fast on an unwritable output BEFORE the (expensive) inference;
+    # append mode probes writability without truncating an existing file
+    try:
+        with open(args.output, "ab"):
+            pass
+    except OSError as e:
+        print(f"Error: cannot write output ({e})", file=sys.stderr)
+        return 1
+
     try:
         samples = read_file_s16(args.input, target_rate=model_sr)
-    except OSError as e:
+    except (OSError, ValueError) as e:
+        # ValueError covers WavFormatError (malformed/unsupported wav)
         print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
         return 1
 

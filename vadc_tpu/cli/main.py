@@ -320,43 +320,59 @@ def _main(argv: list[str] | None = None) -> int:
                 sys.stdout.flush()
             stats.print_line()
 
-    if args.filename:
+    def run_wav(source, where: str, start_seconds: float = 0.0) -> int:
+        """Shared native-wav branch for the file and stdin paths
+        (the reference decodes every container through a spawned ffmpeg,
+        vadc.c:531-608)."""
         try:
-            with open(args.filename, "rb") as probe:
-                head = probe.read(12)
+            wav = WavSource(
+                source, target_rate=model_sr, start_seconds=start_seconds
+            )
+            with wav as stream:
+                f = wav.format
+                print(
+                    f"wav input{where}: {f.sample_rate} Hz, "
+                    f"{f.channels} ch, {f.bits_per_sample}-bit "
+                    f"{'float' if f.format_tag == 3 else 'pcm'} "
+                    f"-> {model_sr} Hz mono (native decode)",
+                    file=sys.stderr,
+                )
+                run(stream)
+        except WavFormatError as e:
+            print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+            return 1
+        return 0
+
+    if args.filename:
+        import os
+        import stat as stat_mod
+
+        # magic-sniff only regular files: a FIFO/process-substitution
+        # input must reach ffmpeg with its bytes untouched (a probe read
+        # would consume them)
+        try:
+            is_regular = stat_mod.S_ISREG(os.stat(args.filename).st_mode)
+            head = b""
+            if is_regular:
+                with open(args.filename, "rb") as probe:
+                    head = probe.read(12)
         except OSError as e:
             # the reference latches CantOpenFile for an unreadable input
             # (vadc.c:404-414); same kind, same stderr discipline
             print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
             return 1
         if is_riff_wave(head):
-            # native WAV path — no ffmpeg needed (the reference decodes
-            # every container through a spawned ffmpeg, vadc.c:531-608)
             if args.audio_source:
                 print(
                     "note: --audio_source ignored for wav input "
                     "(single audio stream)",
                     file=sys.stderr,
                 )
-            try:
-                wav = WavSource(
-                    args.filename,
-                    target_rate=model_sr,
-                    start_seconds=args.start_seconds,
-                )
-                with wav as stream:
-                    f = wav.format
-                    print(
-                        f"wav input: {f.sample_rate} Hz, {f.channels} ch, "
-                        f"{f.bits_per_sample}-bit "
-                        f"{'float' if f.format_tag == 3 else 'pcm'} "
-                        f"-> {model_sr} Hz mono (native decode)",
-                        file=sys.stderr,
-                    )
-                    run(stream)
-            except WavFormatError as e:
-                print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
-                return 1
+            rc = run_wav(
+                args.filename, "", start_seconds=args.start_seconds
+            )
+            if rc:
+                return rc
         else:
             source = FFmpegSource(
                 args.filename,
@@ -381,24 +397,9 @@ def _main(argv: list[str] | None = None) -> int:
         # `vadc < file.wav` and `cat file.wav | vadc` just work
         head = sys.stdin.buffer.read(12)
         if is_riff_wave(head):
-            try:
-                wav = WavSource(
-                    PrependStream(head, sys.stdin.buffer),
-                    target_rate=model_sr,
-                )
-                with wav as stream:
-                    f = wav.format
-                    print(
-                        f"wav input on stdin: {f.sample_rate} Hz, "
-                        f"{f.channels} ch, {f.bits_per_sample}-bit "
-                        f"{'float' if f.format_tag == 3 else 'pcm'} "
-                        f"-> {model_sr} Hz mono (native decode)",
-                        file=sys.stderr,
-                    )
-                    run(stream)
-            except WavFormatError as e:
-                print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
-                return 1
+            rc = run_wav(PrependStream(head, sys.stdin.buffer), " on stdin")
+            if rc:
+                return rc
         else:
             run(PrependStream(head, sys.stdin.buffer))
 

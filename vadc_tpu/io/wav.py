@@ -174,8 +174,10 @@ def write_wav(path, samples_s16: np.ndarray, sample_rate: int = 16000) -> None:
     fmt = struct.pack(
         "<HHIIHH", WAVE_FORMAT_PCM, 1, sample_rate, sample_rate * 2, 2, 16
     )
+    # RIFF size = everything after the size field itself:
+    # "WAVE" (4) + fmt header+body (8+16) + data header (8) + payload
     with open(path, "wb") as fh:
-        fh.write(b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE")
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
         fh.write(b"fmt " + struct.pack("<I", 16) + fmt)
         fh.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
 

@@ -210,8 +210,12 @@ class VadServer:
                     conn.close()
                     continue
                 slot = self._free.pop()
-                self.slots[slot] = _Slot(conn)
+                # gate BEFORE publishing the slot: the engine's finish
+                # check is lock-free, so if it saw the fresh _Slot with
+                # attached still True it would finish the new connection
+                # against the previous client's drained pool state
                 self._attached[slot] = False
+                self.slots[slot] = _Slot(conn)
                 if slot in self._resume_slots:
                     # checkpoint continuation: keep LSTM/FSM state, re-attach
                     # the held pending segment, skip the reset
@@ -237,6 +241,11 @@ class VadServer:
 
         head = b""
         deadline = time.monotonic() + 2.0
+        # MSG_PEEK never drains, so recv can't return b'' to signal a
+        # half-close while <12 bytes sit buffered; poll for RDHUP instead
+        rdhup = getattr(select, "POLLRDHUP", 0x2000)
+        poller = select.poll()
+        poller.register(conn, select.POLLIN | rdhup)
         try:
             conn.settimeout(0.25)
             while len(head) < 12 and time.monotonic() < deadline:
@@ -245,9 +254,17 @@ class VadServer:
                 except TimeoutError:
                     continue
                 if not got:
-                    break  # connection closed before 12 bytes
+                    break  # connection closed before any bytes
                 if len(got) == len(head):
-                    time.sleep(0.02)  # live but no new bytes yet
+                    # live but no new bytes; a peer FIN means no more
+                    # will come — stop waiting and treat as raw
+                    # (poll(0): POLLIN is always set with bytes buffered,
+                    # so only a non-blocking RDHUP check is meaningful)
+                    if any(
+                        ev & rdhup for _fd, ev in poller.poll(0)
+                    ):
+                        break
+                    time.sleep(0.02)
                 head = got
         except OSError:
             pass
