@@ -131,7 +131,44 @@ def _load_bundled(name):
     return None, None
 
 
+def _probe_device(timeout_s: float = 300.0) -> None:
+    """Bounded backend-availability check. Through the remote-device
+    tunnel, a dead link makes the FIRST device op hang indefinitely —
+    a clean error beats an infinite bench hang at round end."""
+    import threading
+
+    err: list[BaseException] = []
+
+    def init():
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from vadc_tpu.runtime import honor_jax_platforms_env
+
+            honor_jax_platforms_env()  # before the backend latches
+            np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+        except BaseException as e:  # surfaced below
+            err.append(e)
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench: device backend did not initialize within {timeout_s:.0f}s "
+            "(remote-device tunnel down?); aborting instead of hanging",
+            file=sys.stderr,
+            flush=True,
+        )
+        raise SystemExit(2)
+    if err:
+        raise err[0]
+
+
 def main():
+    _probe_device()
+
     import jax
     import jax.numpy as jnp
 
