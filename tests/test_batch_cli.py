@@ -94,3 +94,52 @@ def test_batch_cli_accepts_wav_files(tmp_path, capsys, testdata):
     assert len(by_file[str(p_raw)]) == len(by_file[str(p_wav)]) == 1
     (rs, re), (ws, we) = by_file[str(p_raw)][0], by_file[str(p_wav)][0]
     assert abs(rs - ws) <= 0.097 and abs(re - we) <= 0.097
+
+
+def test_batch_cut_dir(tmp_path, capsys, testdata):
+    """--cut_dir writes one speech-only file per input in the same pass:
+    wav inputs come back as spec-valid wav, raw as raw; kept duration
+    matches the emitted segments; silence-only files come back empty."""
+    import struct
+    import wave
+
+    from vadc_tpu.cli import batch
+
+    sil = lambda d: (
+        np.random.default_rng(1).normal(size=int(d * 16000)) * 0.001
+    ).astype(np.float32)
+    a = np.concatenate([sil(1), _speechlike(2), sil(1)])
+    c = sil(2.5)
+    p_raw = tmp_path / "a.s16le"
+    p_raw.write_bytes(f32_to_s16le(a))
+    pcm = f32_to_s16le(a)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    p_wav = tmp_path / "b.wav"
+    p_wav.write_bytes(
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    p_sil = tmp_path / "c.s16le"
+    p_sil.write_bytes(f32_to_s16le(c))
+
+    out_dir = tmp_path / "cut"
+    rc = batch.main(
+        [str(p_raw), str(p_wav), str(p_sil), "--cut_dir", str(out_dir),
+         "--model", str(testdata / "silero_v31_16k.testtensor")]
+    )
+    assert rc == 0
+    segs_by_file = {}
+    for line in capsys.readouterr().out.strip().splitlines():
+        path, seg = line.split("\t")
+        a_, b_ = map(float, seg.split(","))
+        segs_by_file.setdefault(path, []).append(b_ - a_)
+
+    kept_raw = np.frombuffer((out_dir / "a.s16le").read_bytes(), "<i2")
+    expect = sum(segs_by_file[str(p_raw)])
+    assert abs(len(kept_raw) / 16000 - expect) < 0.011  # stdout prints %.2f
+    with wave.open(str(out_dir / "b.wav"), "rb") as w:
+        assert w.getframerate() == 16000
+        n = w.getnframes()
+    assert abs(n / 16000 - sum(segs_by_file[str(p_wav)])) < 0.011
+    assert (out_dir / "c.s16le").read_bytes() == b""

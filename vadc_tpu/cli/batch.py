@@ -11,9 +11,12 @@ Usage:
         [--model PATH] [--sequence_count N] [--slab_chunks N]
         [--min_silence MS] [--min_speech MS] [--threshold P]
         [--neg_threshold_relative P] [--speech_pad MS] [--stats]
+        [--cut_dir DIR]
 
-Output (stdout): `<filename>\t<start>,<end>` per segment.
-Inputs are raw mono 16 kHz s16le files (use ffmpeg to produce them).
+Output (stdout): `<filename>\t<start>,<end>` per segment. With --cut_dir,
+additionally writes one speech-only file per input (corpus-scale silence
+removal in the same sharded pass). Inputs are raw mono model-rate s16le
+files or .wav at any rate/bits/channels (decoded natively).
 """
 
 from __future__ import annotations
@@ -38,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--neg_threshold_relative", type=float, default=0.15)
     p.add_argument("--speech_pad", type=float, default=30.0)
+    p.add_argument("--cut_dir", type=str, default=None,
+                   help="also WRITE speech-only audio per input file into "
+                        "this directory (wav for .wav inputs, raw s16le "
+                        "otherwise) — corpus-scale silence removal in the "
+                        "same sharded pass")
     p.add_argument("--stats", action="store_true")
     p.add_argument("--fast", action="store_true",
                    help="shorthand for --precision fast")
@@ -53,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_streams(
     paths: list[str], chunk_samples: int, sample_rate: int = 16000
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Load s16le files into a zero-padded [B, T_max, chunk] grid.
     Returns (chunk grid, per-stream valid chunk counts).
 
@@ -82,7 +90,7 @@ def load_streams(
         rem = len(a) - n_full * chunk_samples
         if rem:
             grid[i, n_full, :rem] = a[n_full * chunk_samples :]
-    return grid, emit_valid
+    return grid, emit_valid, audios
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -119,7 +127,7 @@ def _main(argv: list[str] | None = None) -> int:
     # 8 kHz branch families take 8 kHz input (raw files are presumed at
     # the model rate, as on the streaming CLI; wav files resample to it)
     file_sr = 8000 if family.endswith("_8k") else 16000
-    grid, valid = load_streams(args.files, seq, sample_rate=file_sr)
+    grid, valid, audios = load_streams(args.files, seq, sample_rate=file_sr)
     n_files, t_chunks = grid.shape[:2]
 
     mesh = make_stream_mesh()
@@ -182,6 +190,41 @@ def _main(argv: list[str] | None = None) -> int:
         for start, end in segs:
             sys.stdout.write(f"{path}\t{start:.2f},{end:.2f}\n")
     sys.stdout.flush()
+
+    if args.cut_dir is not None:
+        # corpus-scale silence removal: slice the kept ranges out of the
+        # already-loaded samples and write one speech-only file per input
+        # (the single-file form is cli/cut.py)
+        import os
+
+        from vadc_tpu.io.wav import write_wav
+
+        os.makedirs(args.cut_dir, exist_ok=True)
+        written: set[str] = set()
+        for path, samples, segs in zip(args.files, audios, segments):
+            pieces = []
+            for start_s, end_s in segs:
+                a = max(0, int(round(start_s * model_sr)))
+                b = min(len(samples), int(round(end_s * model_sr)))
+                if b > a:
+                    pieces.append(samples[a:b])
+            kept = (
+                np.concatenate(pieces) if pieces
+                else np.empty(0, np.int16)
+            )
+            name = Path(path).name
+            if name in written:  # same basename from different directories
+                stem, dot, ext = name.partition(".")
+                i = 1
+                while f"{stem}_{i}{dot}{ext}" in written:
+                    i += 1
+                name = f"{stem}_{i}{dot}{ext}"
+            written.add(name)
+            out = Path(args.cut_dir) / name
+            if name.lower().endswith(".wav"):
+                write_wav(out, kept, sample_rate=model_sr)
+            else:
+                out.write_bytes(np.asarray(kept, "<i2").tobytes())
 
     if args.stats:
         wall = time.perf_counter() - t0
