@@ -322,3 +322,37 @@ def test_wav_client_slot_recycles(server, audio):
     assert all(s is None or s.pipe_fd is None for s in srv.slots)
     # the recycled slot serves a raw client
     assert len(_run_client(port, pcm)) == 1
+
+
+def test_wav_client_malformed_header_gets_error_and_recycles(server):
+    """A client whose RIFF header is malformed (sr=0) gets a one-line
+    error and its slot recycles — untrusted bytes must not leak slots."""
+    import struct
+    import time
+
+    port, srv = server
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)  # sample rate 0
+    blob = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    c = socket.create_connection(("127.0.0.1", port))
+    c.sendall(blob)
+    c.shutdown(socket.SHUT_WR)
+    c.settimeout(30)
+    data = b""
+    try:
+        while True:
+            chunk = c.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+    except socket.timeout:
+        pass
+    c.close()
+    assert b"error:" in data and b"zero sample rate" in data
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline and len(srv._free) < 2:
+        time.sleep(0.05)
+    assert len(srv._free) == 2, "slot leaked after malformed wav header"

@@ -368,3 +368,27 @@ def test_write_wav_spec_compliant_riff_size(tmp_path):
         assert np.array_equal(
             np.frombuffer(w.readframes(1000), "<i2"), samples
         )
+
+
+def test_header_fuzz_never_raises_foreign_exceptions():
+    """The parser handles UNTRUSTED bytes (the serving daemon sniffs
+    client streams): any mutation must either parse or raise
+    WavFormatError — never ZeroDivisionError/struct.error/etc."""
+    rng = np.random.default_rng(11)
+    base = bytearray(_wav_bytes(b"\x00\x00" * 8))
+    for trial in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            blob[rng.integers(0, len(blob))] = rng.integers(0, 256)
+        try:
+            fmt = read_wav_header(io.BytesIO(bytes(blob)))
+            # parsed headers must be internally usable downstream
+            assert fmt.sample_rate >= 1 and fmt.channels >= 1
+            assert fmt.bytes_per_frame >= 1
+        except WavFormatError:
+            pass
+    # targeted: zero sample rate must be a WavFormatError, not a
+    # ValueError from the resampler constructor later
+    blob = _wav_bytes(b"", sr=0)
+    with pytest.raises(WavFormatError, match="zero sample rate"):
+        read_wav_header(io.BytesIO(blob))

@@ -98,6 +98,8 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
                 (tag,) = struct.unpack("<H", body[24:26])
             if ch < 1:
                 raise WavFormatError("zero channels")
+            if sr < 1:
+                raise WavFormatError("zero sample rate")
             fmt = WavFormat(tag, ch, sr, bits, 0)
         elif cid == b"data":
             if fmt is None:

@@ -294,7 +294,9 @@ class VadServer:
                     if not data:
                         break
                     os.write(w, data)
-        except WavFormatError as e:
+        except (WavFormatError, ValueError) as e:
+            # ValueError defensively: untrusted header fields must never
+            # kill the intake thread (a dead thread would leak the slot)
             try:
                 conn.sendall(f"error: {e}\n".encode())
             except OSError:
