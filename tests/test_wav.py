@@ -10,6 +10,7 @@ extensible, chunk skipping, malformed files) against hand-built fixtures.
 import io
 import struct
 import wave
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -392,3 +393,33 @@ def test_header_fuzz_never_raises_foreign_exceptions():
     blob = _wav_bytes(b"", sr=0)
     with pytest.raises(WavFormatError, match="zero sample rate"):
         read_wav_header(io.BytesIO(blob))
+
+
+@pytest.mark.slow
+def test_cli_wav_resamples_to_8k_family_rate(monkeypatch, capsys, tmp_path):
+    """A 16 kHz wav fed to the v4 8 kHz family must be resampled to the
+    MODEL's rate (8 kHz), and timestamps timed at that rate."""
+    import io as _io
+
+    from vadc_tpu.cli import main as cli_main
+
+    audio = _synthetic_speech(16000)
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2").tobytes()
+    wav_path = _write(tmp_path, "s16k.wav", _wav_bytes(pcm))
+    model = str(
+        Path(cli_main.__file__).resolve().parent.parent
+        / "data" / "silero_v4_8k.testtensor"
+    )
+    rc = cli_main.main([wav_path, "--model", model])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "-> 8000 Hz mono" in captured.err
+    segs = [
+        tuple(map(float, line.split(",")))
+        for line in captured.out.strip().splitlines()
+    ]
+    # voiced regions are [2,5] and [7,10] seconds; if the rate were
+    # mishandled the timestamps would land at half/double these
+    assert len(segs) == 2, captured.out
+    assert abs(segs[0][0] - 2.0) < 0.35 and abs(segs[0][1] - 5.1) < 0.35
+    assert abs(segs[1][0] - 7.0) < 0.35 and abs(segs[1][1] - 10.2) < 0.35
