@@ -7,7 +7,8 @@ model families, golden-tensor fidelity tests, and a batched multi-stream
 engine that scales to hundreds of concurrent realtime streams per TPU chip.
 
 Layering (bottom to top):
-  io/       .testtensor (de)serialization, PCM conversion, ffmpeg source
+  io/       .testtensor (de)serialization, PCM conversion, native wav
+            codec + polyphase resampler, ffmpeg source
   nn/       pure-JAX NN ops (STFT, conv blocks, attention, LSTM, norms)
   models/   Silero v3.1 / v4 / v5 weight schemas + forwards
   kernels/  Pallas TPU kernels for the fused hot paths
