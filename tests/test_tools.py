@@ -138,3 +138,34 @@ def test_accuracy_snr_robustness():
     assert by_snr[30.0]["frame_f1"] == 1.0, r["points"]
     assert by_snr[10.0]["frame_f1"] > 0.9, r["points"]
     assert by_snr[10.0]["segment_recall"] >= 2 / 3, r["points"]
+
+
+def test_soak_constant_memory():
+    """30 minutes of audio through the CLI's window loop: constant host
+    RSS (the reference's one-arena-per-run claim, vadc.c:1131-1143,
+    translated to this architecture) and segments flowing throughout."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import soak
+    finally:
+        sys.path.pop(0)
+
+    import contextlib
+    import io as _io
+
+    argv_backup = sys.argv
+    sys.argv = ["soak", "--minutes", "30", "--max_growth_mb", "64"]
+    err = _io.StringIO()
+    try:
+        with contextlib.redirect_stderr(err):
+            rc = soak.main()
+    finally:
+        sys.argv = argv_backup
+    out = err.getvalue()
+    assert rc == 0, out
+    assert "SOAK PASSED" in out
+    # segments must flow for the whole run (FSM + emit path exercised)
+    import re
+
+    m = re.search(r"(\d+) segments", out)
+    assert m and int(m.group(1)) >= 50, out
