@@ -155,16 +155,11 @@ def cut_speech_samples(
 ) -> np.ndarray:
     """Concatenate only the speech ranges of 16 kHz mono float32 audio —
     the library form of cli/cut.py. kwargs as detect_speech_samples."""
+    from vadc_tpu.cli.segmenter import slice_segments
+
     samples = np.asarray(samples, np.float32).ravel()
-    pieces = []
-    for start_s, end_s in detect_speech_samples(samples, **kwargs):
-        a = max(0, int(round(start_s * sample_rate)))
-        b = min(len(samples), int(round(end_s * sample_rate)))
-        if b > a:
-            pieces.append(samples[a:b])
-    if not pieces:
-        return np.empty(0, np.float32)
-    return np.concatenate(pieces)
+    segments = detect_speech_samples(samples, **kwargs)
+    return slice_segments(samples, segments, sample_rate)
 
 
 def detect_speech(

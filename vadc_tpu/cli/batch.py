@@ -197,21 +197,13 @@ def _main(argv: list[str] | None = None) -> int:
         # (the single-file form is cli/cut.py)
         import os
 
+        from vadc_tpu.cli.segmenter import slice_segments
         from vadc_tpu.io.wav import write_wav
 
         os.makedirs(args.cut_dir, exist_ok=True)
         written: set[str] = set()
         for path, samples, segs in zip(args.files, audios, segments):
-            pieces = []
-            for start_s, end_s in segs:
-                a = max(0, int(round(start_s * model_sr)))
-                b = min(len(samples), int(round(end_s * model_sr)))
-                if b > a:
-                    pieces.append(samples[a:b])
-            kept = (
-                np.concatenate(pieces) if pieces
-                else np.empty(0, np.int16)
-            )
+            kept = slice_segments(samples, segs, model_sr)
             name = Path(path).name
             if name in written:  # same basename from different directories
                 stem, dot, ext = name.partition(".")

@@ -98,15 +98,9 @@ def main(argv: list[str] | None = None) -> int:
         speech_pad_ms=args.speech_pad,
     )
 
-    pieces = []
-    for start_s, end_s in segments:
-        a = max(0, int(round(start_s * model_sr)))
-        b = min(len(samples), int(round(end_s * model_sr)))
-        if b > a:
-            pieces.append(samples[a:b])
-    kept = (
-        np.concatenate(pieces) if pieces else np.empty(0, samples.dtype)
-    )
+    from vadc_tpu.cli.segmenter import slice_segments
+
+    kept = slice_segments(samples, segments, model_sr)
 
     if args.output.lower().endswith(".wav"):
         write_wav(args.output, kept, sample_rate=model_sr)

@@ -200,3 +200,21 @@ def format_segment_seconds(start: float, end: float) -> str:
 
 def format_segment_centiseconds(start: float, end: float) -> str:
     return f"{int(start * 100.0 + 0.5)},{int(end * 100.0 + 0.5)}"
+
+
+def slice_segments(samples, segments, sample_rate: int):
+    """Concatenate the sample ranges of `segments` (seconds) out of a 1-D
+    array — the cutting primitive shared by cli/cut.py, the batch CLI's
+    --cut_dir, and api.cut_speech_samples. Dtype-preserving."""
+    import numpy as np
+
+    samples = np.asarray(samples)
+    pieces = []
+    for start_s, end_s in segments:
+        a = max(0, int(round(start_s * sample_rate)))
+        b = min(len(samples), int(round(end_s * sample_rate)))
+        if b > a:
+            pieces.append(samples[a:b])
+    if not pieces:
+        return np.empty(0, samples.dtype)
+    return np.concatenate(pieces)
