@@ -423,3 +423,51 @@ def test_cli_wav_resamples_to_8k_family_rate(monkeypatch, capsys, tmp_path):
     assert len(segs) == 2, captured.out
     assert abs(segs[0][0] - 2.0) < 0.35 and abs(segs[0][1] - 5.1) < 0.35
     assert abs(segs[1][0] - 7.0) < 0.35 and abs(segs[1][1] - 10.2) < 0.35
+
+
+# --- G.711 mu-law / A-law (telephony wav) ---------------------------------
+
+def test_g711_tables_match_stdlib_oracle():
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+    from vadc_tpu.io.wav import _ALAW_F32, _ULAW_F32
+
+    codes = bytes(range(256))
+    for table, decode in ((_ULAW_F32, audioop.ulaw2lin),
+                          (_ALAW_F32, audioop.alaw2lin)):
+        ref = np.frombuffer(decode(codes, 2), "<i2").astype(np.float32)
+        np.testing.assert_array_equal(table * 32768.0, ref)
+
+
+@pytest.mark.parametrize("tag", [6, 7])  # A-law, mu-law
+def test_g711_wav_decodes_through_wav_source(tmp_path, tag):
+    audioop = pytest.importorskip("audioop")
+    # full-scale-ish 1 kHz sine at the telephony rate
+    t = np.arange(8000, dtype=np.float32) / 8000.0
+    lin = (0.5 * np.sin(2 * np.pi * 1000.0 * t) * 32767).astype("<i2")
+    enc = audioop.lin2alaw if tag == 6 else audioop.lin2ulaw
+    payload = enc(lin.tobytes(), 2)
+    path = _write(
+        tmp_path, f"g711_{tag}.wav",
+        _wav_bytes(payload, tag=tag, sr=8000, bits=8),
+    )
+    with WavSource(path, target_rate=8000) as s:
+        out = np.frombuffer(s.read(-1), "<i2").astype(np.float32)
+    assert out.shape == lin.shape
+    err = out - lin.astype(np.float32)
+    snr = 10 * np.log10(np.mean(lin.astype(np.float64) ** 2)
+                        / max(np.mean(err.astype(np.float64) ** 2), 1e-12))
+    # G.711 companding SNR on a half-scale sine is ~37 dB; require most of it
+    assert snr > 30.0, snr
+
+
+def test_g711_extensible_unwrap_and_resample(tmp_path):
+    audioop = pytest.importorskip("audioop")
+    lin = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 16000).astype("<i2")
+    payload = audioop.lin2ulaw(lin.tobytes(), 2)
+    blob = _wav_bytes(payload, tag=7, sr=8000, bits=8, extensible=True)
+    fmt = read_wav_header(io.BytesIO(blob))
+    assert fmt.format_tag == 7 and fmt.bits_per_sample == 8
+    # telephony 8 kHz in, model-rate 16 kHz out via the polyphase path
+    with WavSource(io.BytesIO(blob), target_rate=16000) as s:
+        out = np.frombuffer(s.read(-1), "<i2")
+    assert abs(len(out) - 16000) <= 64  # resampler edge tolerance

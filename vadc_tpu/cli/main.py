@@ -333,7 +333,7 @@ def _main(argv: list[str] | None = None) -> int:
                 print(
                     f"wav input{where}: {f.sample_rate} Hz, "
                     f"{f.channels} ch, {f.bits_per_sample}-bit "
-                    f"{'float' if f.format_tag == 3 else 'pcm'} "
+                    f"{f.codec_name} "
                     f"-> {model_sr} Hz mono (native decode)",
                     file=sys.stderr,
                 )

@@ -9,9 +9,11 @@ the same read()-able stream of mono s16le bytes the ingest loop already
 consumes, so everything downstream of the Buffered_Stream is unchanged.
 
 Supported encodings: PCM 8-bit unsigned, 16/24/32-bit signed, IEEE
-float32/float64, and WAVE_FORMAT_EXTENSIBLE wrapping any of those. Any
-other codec (ADPCM, mp3-in-wav, ...) raises WavFormatError with a
-one-line diagnosis naming the tag — those still need ffmpeg.
+float32/float64, ITU-T G.711 mu-law/A-law (the 8 kHz telephony codecs —
+the natural material for the 8 kHz model families), and
+WAVE_FORMAT_EXTENSIBLE wrapping any of those. Any other codec (ADPCM,
+mp3-in-wav, ...) raises WavFormatError with a one-line diagnosis naming
+the tag — those still need ffmpeg.
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ from vadc_tpu.io.resample import PolyphaseResampler
 
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 # decodable (format_tag, bits) -> numpy dtype of the container
@@ -38,7 +42,30 @@ _CODECS = {
     (WAVE_FORMAT_PCM, 32): np.dtype("<i4"),
     (WAVE_FORMAT_IEEE_FLOAT, 32): np.dtype("<f4"),
     (WAVE_FORMAT_IEEE_FLOAT, 64): np.dtype("<f8"),
+    (WAVE_FORMAT_ALAW, 8): np.uint8,  # G.711, decoded via LUT
+    (WAVE_FORMAT_MULAW, 8): np.uint8,
 }
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Build the 256-entry G.711 expansion tables (ITU-T G.711 segmented
+    companding; same linear values as the classic Sun ulaw2linear /
+    alaw2linear, i.e. 16-bit-domain magnitudes up to 32124 / 32256)."""
+    codes = np.arange(256, dtype=np.uint16)
+    # mu-law: complement, then mantissa/exponent expansion around bias 0x84
+    u = codes ^ 0xFF
+    t = (((u & 0x0F) << 3) + 0x84).astype(np.int32) << ((u >> 4) & 0x07)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.float32)
+    # A-law: even-bit inversion, segment 0/1 special-cased
+    a = codes ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = ((a & 0x0F) << 4).astype(np.int32)
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.float32)
+    return ulaw / 32768.0, alaw / 32768.0
+
+
+_ULAW_F32, _ALAW_F32 = _g711_tables()
 
 
 class WavFormatError(ValueError):
@@ -56,6 +83,14 @@ class WavFormat:
     @property
     def bytes_per_frame(self) -> int:
         return self.channels * self.bits_per_sample // 8
+
+    @property
+    def codec_name(self) -> str:
+        return {
+            WAVE_FORMAT_IEEE_FLOAT: "float",
+            WAVE_FORMAT_ALAW: "g711-alaw",
+            WAVE_FORMAT_MULAW: "g711-ulaw",
+        }.get(self.format_tag, "pcm")
 
 
 def is_riff_wave(head: bytes) -> bool:
@@ -148,7 +183,11 @@ def _decode_frames(raw: bytes, fmt: WavFormat) -> np.ndarray:
         samples = x.astype(np.float32) / 8388608.0
     else:
         x = np.frombuffer(raw, _CODECS[key])
-        if key == (WAVE_FORMAT_PCM, 8):
+        if key == (WAVE_FORMAT_MULAW, 8):
+            samples = _ULAW_F32[x]
+        elif key == (WAVE_FORMAT_ALAW, 8):
+            samples = _ALAW_F32[x]
+        elif key == (WAVE_FORMAT_PCM, 8):
             samples = (x.astype(np.float32) - 128.0) / 128.0
         elif key == (WAVE_FORMAT_PCM, 16):
             samples = x.astype(np.float32) / 32768.0
