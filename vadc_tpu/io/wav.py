@@ -10,10 +10,11 @@ consumes, so everything downstream of the Buffered_Stream is unchanged.
 
 Supported encodings: PCM 8-bit unsigned, 16/24/32-bit signed, IEEE
 float32/float64, ITU-T G.711 mu-law/A-law (the 8 kHz telephony codecs —
-the natural material for the 8 kHz model families), and
-WAVE_FORMAT_EXTENSIBLE wrapping any of those. Any other codec (ADPCM,
-mp3-in-wav, ...) raises WavFormatError with a one-line diagnosis naming
-the tag — those still need ffmpeg.
+the natural material for the 8 kHz model families), IMA/DVI ADPCM
+(4-bit block codec: dictaphones, embedded recorders), and
+WAVE_FORMAT_EXTENSIBLE wrapping any of those. Any other codec
+(MS ADPCM, mp3-in-wav, ...) raises WavFormatError with a one-line
+diagnosis naming the tag — those still need ffmpeg.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011  # aka DVI ADPCM
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 # decodable (format_tag, bits) -> numpy dtype of the container
@@ -44,7 +46,88 @@ _CODECS = {
     (WAVE_FORMAT_IEEE_FLOAT, 64): np.dtype("<f8"),
     (WAVE_FORMAT_ALAW, 8): np.uint8,  # G.711, decoded via LUT
     (WAVE_FORMAT_MULAW, 8): np.uint8,
+    (WAVE_FORMAT_IMA_ADPCM, 4): None,  # block codec; _decode_ima_blocks
 }
+
+# IMA/DVI ADPCM quantizer tables (IMA ADPCM spec; identical values to
+# the classic Intel/DVI reference implementation)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_expand(nibbles: np.ndarray, pred: np.ndarray,
+                index: np.ndarray) -> np.ndarray:
+    """Run the IMA ADPCM recurrence: nibbles [..., K] with initial
+    predictor/step-index arrays [...] -> samples [..., K] (int32 in
+    s16 range). Vectorized over the leading axes; the K axis is the
+    inherently sequential part (one step per encoded nibble)."""
+    nibbles = nibbles.astype(np.int32)
+    pred = pred.astype(np.int32).copy()
+    index = np.clip(index.astype(np.int32), 0, 88)
+    out = np.empty(nibbles.shape, np.int32)
+    for i in range(nibbles.shape[-1]):
+        n = nibbles[..., i]
+        step = _IMA_STEPS[index]
+        diff = (step >> 3)
+        diff += np.where(n & 4, step, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 1, step >> 2, 0)
+        pred = np.where(n & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_ADJ[n & 7], 0, 88)
+        out[..., i] = pred
+    return out
+
+
+def _decode_ima_blocks(raw: bytes, fmt: "WavFormat") -> np.ndarray:
+    """Decode whole IMA ADPCM blocks (plus an optional trailing short
+    block from a truncated stream) to float32 mono. Block layout per
+    channel: 4-byte header {int16 predictor, uint8 step index, pad},
+    then channel-interleaved 4-byte groups of 8 nibbles (low first).
+    The header predictor is the block's first sample."""
+    ba, ch = fmt.block_align, fmt.channels
+    pieces = []
+    nfull = len(raw) // ba
+    if nfull:
+        pieces.append((np.frombuffer(raw[: nfull * ba], np.uint8)
+                       .reshape(nfull, ba), fmt.samples_per_block))
+    tail = raw[nfull * ba:]
+    tail_len = 4 * ch + (len(tail) - 4 * ch) // (4 * ch) * (4 * ch)
+    if len(tail) >= 8 * ch:  # header + at least one group per channel
+        pieces.append((np.frombuffer(tail[:tail_len], np.uint8)
+                       .reshape(1, tail_len), fmt.samples_per_block))
+    mono = []
+    for blocks, spb_cap in pieces:
+        nb, L = blocks.shape
+        hdr = blocks[:, : 4 * ch].reshape(nb, ch, 4).astype(np.int32)
+        pred = ((hdr[:, :, 0] | (hdr[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+        index = hdr[:, :, 2]
+        groups = (L - 4 * ch) // (4 * ch)
+        data = blocks[:, 4 * ch: 4 * ch + groups * 4 * ch].reshape(
+            nb, groups, ch, 4
+        )
+        # low nibble first within each byte
+        nib = np.stack([data & 0x0F, data >> 4], axis=-1).reshape(
+            nb, groups, ch, 8
+        )
+        nib = nib.transpose(0, 2, 1, 3).reshape(nb, ch, groups * 8)
+        samples = np.concatenate(
+            [pred[:, :, None], _ima_expand(nib, pred, index)], axis=-1
+        )
+        samples = samples[:, :, : spb_cap or samples.shape[-1]]
+        s = samples.mean(axis=1) if ch > 1 else samples[:, 0]
+        mono.append(s.reshape(-1).astype(np.float32) / 32768.0)
+    if not mono:
+        return np.empty(0, np.float32)
+    return np.concatenate(mono)
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -79,10 +162,17 @@ class WavFormat:
     sample_rate: int
     bits_per_sample: int
     data_bytes: int  # size of the data chunk; may exceed the actual file
+    block_align: int = 0  # bytes per coded block (block codecs only)
+    samples_per_block: int = 0  # frames per coded block (block codecs)
+    total_frames: int = 0  # from the 'fact' chunk; 0 = unknown
 
     @property
     def bytes_per_frame(self) -> int:
         return self.channels * self.bits_per_sample // 8
+
+    @property
+    def is_block_codec(self) -> bool:
+        return self.format_tag == WAVE_FORMAT_IMA_ADPCM
 
     @property
     def codec_name(self) -> str:
@@ -90,6 +180,7 @@ class WavFormat:
             WAVE_FORMAT_IEEE_FLOAT: "float",
             WAVE_FORMAT_ALAW: "g711-alaw",
             WAVE_FORMAT_MULAW: "g711-ulaw",
+            WAVE_FORMAT_IMA_ADPCM: "ima-adpcm",
         }.get(self.format_tag, "pcm")
 
 
@@ -108,6 +199,7 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
     if not is_riff_wave(head):
         raise WavFormatError("not a RIFF/WAVE file")
     fmt: WavFormat | None = None
+    total_frames = 0
     while True:
         hdr = read_full(stream, 8)
         if len(hdr) < 8:
@@ -119,9 +211,16 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
             body = read_full(stream, size)
             if len(body) < 16:
                 raise WavFormatError("truncated 'fmt ' chunk")
-            tag, ch, sr, _brate, _balign, bits = struct.unpack(
+            tag, ch, sr, _brate, balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
+            # Samples union / wSamplesPerBlock for block codecs (same
+            # uint16 slot as wValidBitsPerSample in EXTENSIBLE)
+            ext_samples = 0
+            if len(body) >= 20:
+                (cb_size,) = struct.unpack("<H", body[16:18])
+                if cb_size >= 2:
+                    (ext_samples,) = struct.unpack("<H", body[18:20])
             if tag == WAVE_FORMAT_EXTENSIBLE:
                 # SubFormat GUID starts with the real 16-bit tag
                 if len(body) < 26:
@@ -129,13 +228,25 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
                 (ext_size,) = struct.unpack("<H", body[16:18])
                 if ext_size < 22 or len(body) < 40:
                     raise WavFormatError("truncated extensible 'fmt ' chunk")
-                (_valid_bits,) = struct.unpack("<H", body[18:20])
                 (tag,) = struct.unpack("<H", body[24:26])
             if ch < 1:
                 raise WavFormatError("zero channels")
             if sr < 1:
                 raise WavFormatError("zero sample rate")
-            fmt = WavFormat(tag, ch, sr, bits, 0)
+            fmt = WavFormat(tag, ch, sr, bits, 0, block_align=balign)
+            if fmt.is_block_codec:
+                if balign < 8 * ch:
+                    raise WavFormatError(
+                        f"bad ADPCM block size ({balign})"
+                    )
+                derived = (balign - 4 * ch) * 2 // ch + 1
+                fmt.samples_per_block = (
+                    ext_samples if 0 < ext_samples <= derived else derived
+                )
+        elif cid == b"fact" and size >= 4:
+            body = read_full(stream, size + (size & 1))
+            if len(body) >= 4:
+                (total_frames,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             if fmt is None:
                 raise WavFormatError("'data' chunk before 'fmt '")
@@ -143,6 +254,7 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
             fmt.data_bytes = (
                 size if size not in (0, 0xFFFFFFFF) else (1 << 62)
             )
+            fmt.total_frames = total_frames
             if (fmt.format_tag, fmt.bits_per_sample) not in _CODECS:
                 raise WavFormatError(
                     f"unsupported wav codec (format_tag={fmt.format_tag}, "
@@ -166,6 +278,8 @@ def _discard(stream: BinaryIO, nbytes: int) -> None:
 def _decode_frames(raw: bytes, fmt: WavFormat) -> np.ndarray:
     """Raw interleaved frames -> float32 mono in [-1, 1] (channel mean —
     the same downmix ffmpeg's `-ac 1` pan performs)."""
+    if fmt.is_block_codec:
+        return _decode_ima_blocks(raw, fmt)
     bpf = fmt.bytes_per_frame
     usable = len(raw) - len(raw) % bpf
     if usable == 0:
@@ -305,14 +419,36 @@ class WavSource:
         self._fh = fh
         fmt = self._fmt
         self._left = fmt.data_bytes
+        # alignment unit of the coded stream: a frame for sample codecs,
+        # a coded block for block codecs (IMA ADPCM)
+        if fmt.is_block_codec:
+            self._unit = fmt.block_align
+            self._frames_per_unit = fmt.samples_per_block
+        else:
+            self._unit = fmt.bytes_per_frame
+            self._frames_per_unit = 1
+        self._drop_frames = 0  # decoded frames to drop (sub-unit seek)
+        # honor the 'fact' frame count only for block codecs, where the
+        # final block is zero-padded to full size by standard writers
+        self._frames_left = (
+            fmt.total_frames
+            if fmt.is_block_codec and fmt.total_frames
+            else None
+        )
         if self._start_seconds > 0:
             skip = int(self._start_seconds * fmt.sample_rate)
-            skip_bytes = min(skip * fmt.bytes_per_frame, fmt.data_bytes)
+            units = skip // self._frames_per_unit
+            skip_bytes = min(units * self._unit, fmt.data_bytes)
             if fh.seekable():
                 fh.seek(skip_bytes, 1)
             else:
                 _discard(fh, skip_bytes)
             self._left -= skip_bytes
+            skipped = (skip_bytes // self._unit) * self._frames_per_unit
+            self._drop_frames = skip - skipped
+            if self._frames_left is not None:
+                # dropped sub-unit frames are consumed real frames too
+                self._frames_left = max(self._frames_left - skip, 0)
         self._passthrough = (
             fmt.format_tag == WAVE_FORMAT_PCM
             and fmt.bits_per_sample == 16
@@ -341,7 +477,8 @@ class WavSource:
     def _pump(self) -> None:
         """Decode one input block into the output byte buffer."""
         assert self._fh is not None
-        want = min(self._left, self._BLOCK_FRAMES * self._fmt.bytes_per_frame)
+        units = max(self._BLOCK_FRAMES // self._frames_per_unit, 1)
+        want = min(self._left, units * self._unit)
         raw = self._fh.read(want) if want > 0 else b""
         if raw:
             self._left -= len(raw)
@@ -353,14 +490,31 @@ class WavSource:
             return
         if raw:
             raw = self._pending + raw
-            bpf = self._fmt.bytes_per_frame
-            cut = len(raw) - len(raw) % bpf
+            cut = len(raw) - len(raw) % self._unit
             self._pending = raw[cut:]
-            mono = _decode_frames(raw[:cut], self._fmt)
-            self._out += _quantize_s16le(self._resampler.process(mono))
+            raw = raw[:cut]
+        elif self._pending and self._fmt.is_block_codec:
+            # stream exhausted with a truncated final block: decode
+            # what its nibbles cover
+            raw, self._pending = self._pending, b""
         else:
             self._out += _quantize_s16le(self._resampler.flush())
             self._eof = True
+            return
+        if raw:  # may be empty while a partial unit accumulates
+            mono = self._trim(_decode_frames(raw, self._fmt))
+            self._out += _quantize_s16le(self._resampler.process(mono))
+
+    def _trim(self, mono: np.ndarray) -> np.ndarray:
+        """Apply the sub-unit seek drop and the 'fact' total-frame cap."""
+        if self._drop_frames:
+            take = min(self._drop_frames, len(mono))
+            mono = mono[take:]
+            self._drop_frames -= take
+        if self._frames_left is not None:
+            mono = mono[: self._frames_left]
+            self._frames_left -= len(mono)
+        return mono
 
     def read(self, n: int = -1) -> bytes:
         if n is None or n < 0:
