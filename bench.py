@@ -84,8 +84,22 @@ def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
     diffs = _steady_state_once(runner, batch, chunk, k1, T_SHORT, T_LONG, reps)
     per = min(diffs)
     if per * (T_LONG - T_SHORT) < 0.05:  # under 50 ms of signal
+        # Bound the longer-scan audio buffer: the generator output and the
+        # scan's in-flight copy hold ~2 audio-sized fp32 buffers on a
+        # ~15.75G chip, and a 4x scan at batch 1024 x chunk 1536 (v4 fast,
+        # fp32 compute) compiles to 7.88G args + 7.88G temp = OOM by 4.5M.
+        # Scale the factor to a 6G audio budget and buy the lost signal
+        # back with extra base-length reps instead.
+        budget = 6 * 2**30
+        factor = max(1, min(4, int(budget // (batch * T_LONG * chunk * 4))))
         diffs = _steady_state_once(
-            runner, batch, chunk, k2, 4 * T_SHORT, 4 * T_LONG, max(reps, 5)
+            runner,
+            batch,
+            chunk,
+            k2,
+            factor * T_SHORT,
+            factor * T_LONG,
+            max(reps, 5) + (3 if factor < 4 else 0),
         )
         per = sorted(diffs)[len(diffs) // 2]
     return max(per, 1e-9)
