@@ -157,3 +157,16 @@ def test_cut_speech_samples(testdata):
         np.zeros(32000, np.float32),
         model=str(testdata / "silero_v31_16k.testtensor"),
     ).size == 0
+
+
+def test_cut_speech_samples_slices_at_model_rate():
+    """8 kHz families: segment times are true seconds, so the slicer must
+    use the MODEL's sample rate (8000), not a 16 kHz default — the wrong
+    rate doubles every index and cuts the wrong ranges."""
+    from pathlib import Path
+
+    model = Path("vadc_tpu/data/silero_v4_8k.testtensor")
+    sil = (np.random.default_rng(0).normal(size=8000) * 0.001).astype(np.float32)
+    audio = np.concatenate([sil, _speechlike(2.0, sr=8000), sil])
+    kept = api.cut_speech_samples(audio, model=str(model))
+    assert 1.7 * 8000 < len(kept) < 2.9 * 8000, len(kept)

@@ -359,3 +359,58 @@ def test_cli_unrecognized_graph_clean_error(monkeypatch, tmp_path, capsys):
     assert rc == 1
     assert "unrecognized model graph" in captured.err
     assert "falling back" not in captured.err
+
+
+def test_unsqueeze_negative_axes_resolve_against_output_rank():
+    """ONNX spec: Unsqueeze axes (positive or negative) index the OUTPUT
+    rank r_in + len(axes). axes=[-1, -2] on rank-2 data must append two
+    trailing dims, not insert mid-tensor."""
+    import numpy as np
+
+    from vadc_tpu.export.onnx_extract import OnnxGraph, OnnxNode
+    from vadc_tpu.export.onnx_exec import OnnxExecutor
+
+    g = OnnxGraph()
+    node = OnnxNode()
+    node.op_type = "Unsqueeze"
+    node.inputs = ["x", "axes"]
+    node.outputs = ["y"]
+    g.nodes.append(node)
+    g.initializers["axes"] = np.asarray([-1, -2], np.int64)
+    g.inputs = ["x"]
+    g.outputs = ["y"]
+
+    out = OnnxExecutor(g).run({"x": np.zeros((3, 5), np.float32)})["y"]
+    assert out.shape == (3, 5, 1, 1)
+
+    g.initializers["axes"] = np.asarray([0, -1], np.int64)
+    out = OnnxExecutor(g).run({"x": np.zeros((3, 5), np.float32)})["y"]
+    assert out.shape == (1, 3, 5, 1)
+
+
+def test_load_params_sr_selects_8k_branch():
+    """load_params(path, sample_rate=8000) extracts the fused model's 8 kHz
+    If-branch (the role onnx_helpers.c:314-357 routes via the sr input)."""
+    from vadc_tpu.models.weights import load_params
+
+    path = _exists(V4_ONNX)
+    family16, _ = load_params(path)
+    family8, params8 = load_params(path, sample_rate=8000)
+    assert family16 == "v4"
+    assert family8 == "v4_8k"
+    with pytest.raises(ValueError, match="no 8 kHz branch"):
+        load_params(_exists(V3_ONNX), sample_rate=8000)
+
+
+def test_exec_runner_honors_sample_rate():
+    """The executor backend's 8 kHz mode must time chunks (and clamp the
+    chunk contract) at 8 kHz — previously every caller hardcoded 16000 and
+    the 8 kHz branches were unreachable."""
+    from vadc_tpu.engine.onnx_backend import OnnxExecRunner
+
+    path = _exists(V4_ONNX)
+    r8 = OnnxExecRunner(path, chunk_samples=768, sample_rate=8000)
+    assert r8.module.SAMPLE_RATE == 8000
+    assert r8.chunk_samples <= 768
+    r16 = OnnxExecRunner(path, chunk_samples=1536)
+    assert r16.module.SAMPLE_RATE == 16000

@@ -624,3 +624,95 @@ def test_ima_adpcm_stereo_downmix_and_resample():
     with WavSource(io.BytesIO(blob), target_rate=16000) as s:
         up = np.frombuffer(s.read(-1), "<i2")
     assert abs(len(up) - 2 * len(x)) <= 64
+
+
+def test_oversized_fmt_chunk_refused_without_buffering():
+    """A declared fmt/fact size near 4 GB is attacker-controlled garbage
+    (the serving daemon decodes client wav streams); the parser must refuse
+    it immediately instead of buffering gigabytes of client bytes."""
+    head = (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFF0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 0xFFFFFF00)
+    )
+
+    class HeaderThenZeros(io.RawIOBase):
+        def __init__(self, head):
+            self.head = head
+            self.extra_served = 0
+
+        def readable(self):
+            return True
+
+        def readinto(self, b):
+            if self.head:
+                n = min(len(b), len(self.head))
+                b[:n] = self.head[:n]
+                self.head = self.head[n:]
+                return n
+            n = len(b)
+            self.extra_served += n
+            for i in range(n):
+                b[i] = 0
+            return n
+
+    raw = HeaderThenZeros(head)
+    with pytest.raises(WavFormatError, match="oversized 'fmt '"):
+        read_wav_header(io.BufferedReader(raw))
+    assert raw.extra_served < 1 << 20  # refused up front, nothing buffered
+
+
+def test_oversized_fact_chunk_refused():
+    blob = _wav_bytes(
+        b"\x01\x00" * 4,
+        pre_data_chunks=b"fact" + struct.pack("<I", 0x7FFFFFFF),
+    )
+    with pytest.raises(WavFormatError, match="oversized 'fact'"):
+        read_wav_header(io.BytesIO(blob))
+
+
+def test_odd_sized_fmt_chunk_consumes_pad_byte():
+    """RIFF word alignment: an odd-sized fmt chunk (cbSize variants real
+    encoders emit) carries a pad byte; failing to consume it misaligns
+    every later chunk header."""
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x00"
+    assert len(fmt_body) % 2 == 1
+    pcm = b"\x01\x00" * 10
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body + b"\x00"  # pad
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    fmt = read_wav_header(io.BytesIO(blob))
+    assert fmt.sample_rate == 16000
+    assert fmt.data_bytes == len(pcm)
+
+
+def test_cli_url_input_reaches_ffmpeg_not_stat(monkeypatch, capsys):
+    """A protocol input (https://, pipe:, ...) cannot be os.stat'ed but
+    ffmpeg speaks it — the magic-sniff gate must hand it to ffmpeg
+    untouched instead of failing with a stat-based CantOpenFile."""
+    from vadc_tpu.cli import main as cli_main
+    from vadc_tpu.io import ffmpeg as ffmpeg_mod
+
+    seen = {}
+
+    def fake_popen(cmd, **kwargs):
+        seen["cmd"] = cmd
+        raise FileNotFoundError("ffmpeg")
+
+    monkeypatch.setattr(ffmpeg_mod.subprocess, "Popen", fake_popen)
+    rc = cli_main.main(["https://example.invalid/talk.mp3"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "ffmpeg not found" in err  # routed to ffmpeg, not the stat gate
+    assert "https://example.invalid/talk.mp3" in seen["cmd"]
+
+
+def test_cli_missing_local_file_still_one_line_error(capsys, tmp_path):
+    from vadc_tpu.cli import main as cli_main
+
+    rc = cli_main.main([str(tmp_path / "does_not_exist.mp3")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "BS_Error_CantOpenFile" in err
+    assert "ffmpeg" not in err  # diagnosed at the stat gate, no spawn

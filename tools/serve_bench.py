@@ -39,16 +39,12 @@ SR = 16000
 
 
 def _speechlike(duration_s: float, f0: float = 120.0) -> np.ndarray:
-    t = np.arange(int(duration_s * SR)) / SR
-    sig = np.zeros_like(t)
-    for k in range(1, 25):
-        f = k * f0
-        w = np.exp(-(((f - 500) / 400) ** 2)) + 0.7 * np.exp(
-            -(((f - 1500) / 500) ** 2)
-        )
-        sig += w * np.sin(2 * np.pi * f * t + k)
-    sig *= 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t - np.pi / 2))
-    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+    # the library generator carries the third formant, phase jitter, and
+    # the aspiration floor the accuracy/soak tooling depends on — do not
+    # re-implement a degraded local variant
+    from vadc_tpu.io.synthaudio import voiced
+
+    return voiced(duration_s, f0, SR)
 
 
 def _cycle_pcm(chunk_samples: int) -> tuple[bytes, int]:

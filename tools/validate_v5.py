@@ -58,6 +58,9 @@ def validate(path: Path, atol: float, chunks: int = 4, batch: int = 3) -> bool:
         return False
 
     ok = True
+    from vadc_tpu.export.onnx_exec import OnnxExecutor
+
+    executor = OnnxExecutor.from_path(path)  # parse the protobuf once
     for sr in (16000, 8000):
         fam, params = load_params_from_tensors(extract_silero_v5(path, sr))
         mod = silero_v5 if sr == 16000 else silero_v5.v5_8k
@@ -69,7 +72,9 @@ def validate(path: Path, atol: float, chunks: int = 4, batch: int = 3) -> bool:
         print(f"-- {sr} Hz branch (family {fam}, {chunks} chunks x batch {batch})")
         for step in range(chunks):
             audio = (0.2 * rng.normal(size=(batch, window))).astype(np.float32)
-            out, h, c = run_silero_onnx(path, audio, state=(h, c), sample_rate=sr)
+            out, h, c = run_silero_onnx(
+                path, audio, state=(h, c), sample_rate=sr, executor=executor
+            )
             p, hj, cj = mod.forward(params, jnp.asarray(audio), hj, cj)
             err = float(np.max(np.abs(np.asarray(p).ravel() - out.ravel())))
             status = "ok" if err <= atol else "FAIL"

@@ -151,12 +151,22 @@ def stream_segments(
 
 
 def cut_speech_samples(
-    samples: np.ndarray, *, sample_rate: int = 16000, **kwargs
+    samples: np.ndarray, *, sample_rate: int | None = None, **kwargs
 ) -> np.ndarray:
-    """Concatenate only the speech ranges of 16 kHz mono float32 audio —
-    the library form of cli/cut.py. kwargs as detect_speech_samples."""
+    """Concatenate only the speech ranges of mono float32 audio at the
+    model's sample rate — the library form of cli/cut.py. kwargs as
+    detect_speech_samples. sample_rate defaults to the model's rate
+    (8000 for the _8k families): segment times are true seconds, so
+    slicing at any other rate would cut the wrong sample ranges."""
     from vadc_tpu.cli.segmenter import slice_segments
 
+    if sample_rate is None:
+        runner, _ = _get_runner(
+            kwargs.get("model"),
+            kwargs.get("sequence_count", 1536),
+            kwargs.get("precision", "faithful"),
+        )
+        sample_rate = getattr(runner.module, "SAMPLE_RATE", 16000)
     samples = np.asarray(samples, np.float32).ravel()
     segments = detect_speech_samples(samples, **kwargs)
     return slice_segments(samples, segments, sample_rate)
@@ -179,11 +189,19 @@ def detect_speech(
 
     # magic-sniff only regular files: a FIFO/process-substitution input
     # must reach ffmpeg with its bytes untouched (a probe read would
-    # consume them; reference behavior: the path goes straight to ffmpeg)
+    # consume them; reference behavior: the path goes straight to ffmpeg).
+    # Non-path inputs ffmpeg speaks (https://, rtmp://, pipe:, ...) fail
+    # os.stat and fall through to ffmpeg with the string untouched.
+    import re
+
     head = b""
-    if stat.S_ISREG(os.stat(filename).st_mode):
-        with open(filename, "rb") as probe:
-            head = probe.read(12)
+    try:
+        if stat.S_ISREG(os.stat(filename).st_mode):
+            with open(filename, "rb") as probe:
+                head = probe.read(12)
+    except OSError:
+        if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(filename)):
+            raise
     # decode at the MODEL's rate (8 kHz families take 8 kHz input)
     runner, _ = _get_runner(
         kwargs.get("model"),

@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="faithful",
                    help="matmul precision tier (default faithful = the "
                         "golden-fidelity contract; see docs/PERFORMANCE.md)")
+    p.add_argument("--sr", type=int, choices=(16000, 8000), default=None,
+                   help="sample-rate branch for fused v4/v5 .onnx models "
+                        "(they carry both; the reference routes this via "
+                        "the graph's sr input, onnx_helpers.c:314-357). "
+                        "Testtensor archives carry their own rate")
     p.add_argument("--onnx_exec", action="store_true",
                    help="run the .onnx graph itself via the numpy executor "
                         "(restrictions introspected from the graph like the "
@@ -163,7 +168,11 @@ def _make_exec_runner(weights_path: Path, args):
     # the runner clamps against the graph's declared sequence restriction
     # AND the introspected family's chunk contract (v5 graphs with dynamic
     # dims still run at their fixed 512/256-sample cadence)
-    runner = OnnxExecRunner(weights_path, chunk_samples=int(args.sequence_count))
+    runner = OnnxExecRunner(
+        weights_path,
+        chunk_samples=int(args.sequence_count),
+        sample_rate=int(args.sr or 16000),
+    )
     r = runner.restrictions
     print(
         "graph introspection: "
@@ -193,7 +202,9 @@ def _main(argv: list[str] | None = None) -> int:
         runner = _make_exec_runner(weights_path, args)
     else:
         try:
-            family, params = load_params(weights_path)
+            family, params = load_params(
+                weights_path, sample_rate=int(args.sr or 16000)
+            )
         except Exception as e:
             if weights_path.suffix.lower() != ".onnx":
                 raise
@@ -250,6 +261,13 @@ def _main(argv: list[str] | None = None) -> int:
         )
     # 8 kHz branch families time chunks (and decode input) at their own rate
     model_sr = getattr(runner.module, "SAMPLE_RATE", SAMPLE_RATE)
+    if args.sr and model_sr != args.sr:
+        print(
+            f"note: --sr {args.sr} ignored — this weight archive is a "
+            f"{model_sr} Hz model (the flag selects the branch of fused "
+            ".onnx models)",
+            file=sys.stderr,
+        )
     seg_config = SegmenterConfig.from_ms(
         chunk_samples=seq,
         sample_rate=model_sr,
@@ -347,6 +365,8 @@ def _main(argv: list[str] | None = None) -> int:
         import os
         import stat as stat_mod
 
+        import re
+
         # magic-sniff only regular files: a FIFO/process-substitution
         # input must reach ffmpeg with its bytes untouched (a probe read
         # would consume them)
@@ -357,10 +377,16 @@ def _main(argv: list[str] | None = None) -> int:
                 with open(args.filename, "rb") as probe:
                     head = probe.read(12)
         except OSError as e:
-            # the reference latches CantOpenFile for an unreadable input
-            # (vadc.c:404-414); same kind, same stderr discipline
-            print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
-            return 1
+            # A non-path input (https://, rtmp://, pipe:, concat:, ...)
+            # must still reach ffmpeg untouched — it speaks those
+            # protocols even though os.stat cannot.
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", args.filename):
+                is_regular, head = False, b""
+            else:
+                # the reference latches CantOpenFile for an unreadable
+                # input (vadc.c:404-414); same kind, same stderr discipline
+                print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+                return 1
         if is_riff_wave(head):
             if args.audio_source:
                 print(

@@ -264,7 +264,10 @@ class OnnxExecutor:
         elif op == "Unsqueeze":
             axes = _axes_arg(vals, a)
             out = vals[0]
-            for ax in sorted(ax % (out.ndim + 1) if ax < 0 else ax for ax in axes):
+            # ONNX spec: axes (positive or negative) index the OUTPUT rank
+            # r_in + len(axes); insert in ascending resolved order
+            r_out = out.ndim + len(axes)
+            for ax in sorted(ax % r_out for ax in axes):
                 out = np.expand_dims(out, ax)
         elif op == "Squeeze":
             axes = _axes_arg(vals, a)

@@ -208,7 +208,13 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
             )
         cid, size = struct.unpack("<4sI", hdr)
         if cid == b"fmt ":
-            body = read_full(stream, size)
+            # A valid fmt chunk is <= ~64 bytes (EXTENSIBLE is 40); a huge
+            # declared size is attacker-controlled garbage — refuse instead
+            # of buffering up to 4 GB of client bytes. Read the RIFF pad
+            # byte on odd sizes so later chunk headers stay aligned.
+            if size > 1 << 16:
+                raise WavFormatError(f"oversized 'fmt ' chunk ({size} bytes)")
+            body = read_full(stream, size + (size & 1))[:size]
             if len(body) < 16:
                 raise WavFormatError("truncated 'fmt ' chunk")
             tag, ch, sr, _brate, balign, bits = struct.unpack(
@@ -244,6 +250,8 @@ def read_wav_header(stream: BinaryIO) -> WavFormat:
                     ext_samples if 0 < ext_samples <= derived else derived
                 )
         elif cid == b"fact" and size >= 4:
+            if size > 1 << 16:
+                raise WavFormatError(f"oversized 'fact' chunk ({size} bytes)")
             body = read_full(stream, size + (size & 1))
             if len(body) >= 4:
                 (total_frames,) = struct.unpack("<I", body[:4])

@@ -148,13 +148,18 @@ def load_params_from_tensors(tensors: dict[str, np.ndarray]) -> tuple[str, dict]
     )
 
 
-def load_params(path: str | Path) -> tuple[str, dict]:
+def load_params(path: str | Path, sample_rate: int = 16000) -> tuple[str, dict]:
     """Load model weights, returning (family, params).
 
     Accepts .testtensor archives or official .onnx models directly (the
     reference's ORT backend takes .onnx via --model; here the weights are
     extracted in-process by the dependency-free protobuf reader — v4/v4_8k
-    fused models and plain v3 graphs are auto-distinguished)."""
+    fused models and plain v3 graphs are auto-distinguished).
+
+    sample_rate selects the If-branch of fused v4/v5 .onnx models (they
+    carry both rates; onnx_helpers.c:314-357 routes this via the sr input
+    at runtime, here it routes extraction). Testtensor archives record
+    their rate in `meta.sample_rate` and ignore this argument."""
     path = Path(path)
     if path.suffix.lower() == ".onnx":
         from vadc_tpu.export.onnx_extract import classify_model
@@ -167,10 +172,14 @@ def load_params(path: str | Path) -> tuple[str, dict]:
         # dying later inside the wrong extractor
         family = classify_model(path)
         if family == "v5":
-            tensors = extract_silero_v5(path)
+            tensors = extract_silero_v5(path, sample_rate)
         elif family == "v4":
-            tensors = extract_silero_v4(path)
+            tensors = extract_silero_v4(path, sample_rate)
         else:
+            if sample_rate != 16000:
+                raise ValueError(
+                    "v3 models have no 8 kHz branch (16 kHz only)"
+                )
             tensors = extract_silero_v3(path)
         return load_params_from_tensors(tensors)
     return load_params_from_tensors(load_testtensor(path))
