@@ -15,11 +15,40 @@ from vadc_tpu.nn import functional as F
 
 
 def test_softmax(testdata):
+    """The fixture exercises the PRODUCTION softmax — the same F.softmax
+    that F.attention applies to its score tensors (both formulations)."""
     d = load_testtensor(testdata / "softmax_test.testtensor")
-    out = jnp.asarray(np.vectorize(lambda x: x)(d["input"]))
-    out = jnp.exp(out - out.max(axis=-1, keepdims=True))
-    out = out / out.sum(axis=-1, keepdims=True)
+    out = F.softmax(jnp.asarray(d["input"]), axis=-1)
     assert_close(out, d["output"], 1e-4, "softmax")
+
+
+def test_softmax_through_attention_path(testdata):
+    """Assert the fixture values also flow through F.attention itself: an
+    identity-shaped attention whose scores ARE the fixture rows must emit
+    the fixture's softmax as its mixing weights. Construction: 1 head,
+    Q = I via qkv_w, K rows chosen so k.q^T/sqrt(d) reproduces the fixture,
+    V = I, proj = I — then attention(x) == softmax(fixture) @ x."""
+    d = load_testtensor(testdata / "softmax_test.testtensor")
+    rows = np.asarray(d["input"], dtype=np.float32)  # [N, D] score rows
+    n, dim = rows.shape
+    assert n == dim, "fixture rows must be square to pose as a score matrix"
+    # x = I so q_t = e_t and k_s = W_k[:, s] (PyTorch linear: W @ x_s);
+    # scores[s, t] = k_s . q_t = W_k[t, s] — so set W_k = rows.T * sqrt(d)
+    eye = np.eye(dim, dtype=np.float32)
+    qkv_w = np.concatenate(
+        [eye, rows.T * np.sqrt(np.float32(dim)), eye], axis=0
+    )  # [3D, D] blocks: q, k, v
+    qkv_b = np.zeros((3 * dim,), np.float32)
+    out = F.attention(
+        jnp.asarray(eye)[None],  # [1, S=D, D]
+        jnp.asarray(qkv_w),
+        jnp.asarray(qkv_b),
+        jnp.asarray(eye),
+        jnp.asarray(np.zeros((dim,), np.float32)),
+        n_heads=1,
+    )
+    # with V = x = I, attention output IS alpha (the softmaxed fixture)
+    assert_close(out[0], d["output"], 1e-4, "softmax via attention")
 
 
 def test_layer_norm(testdata):

@@ -423,6 +423,18 @@ def batch_norm1d(
     return x * scale + shift
 
 
+def softmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Numerically-stable softmax with fp32 statistics — THE softmax
+    `attention` applies to its score tensors (both formulations).
+
+    Max-subtract form, matching softmax_inplace_stable (reference
+    tensor.h:751-784; golden fixture from test.c:900). Statistics always
+    run in fp32 even when scores arrive bf16-resident (turbo tier);
+    returns fp32 — callers cast back to their residency dtype.
+    """
+    return jax.nn.softmax(x.astype(jnp.float32), axis=axis)
+
+
 def attention(
     x: jax.Array,
     qkv_w: jax.Array,
@@ -455,7 +467,7 @@ def attention(
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scores = jnp.einsum("bhsd,bhtd->bhst", k, q, precision=_PRECISION)
-        alpha = jax.nn.softmax(scores / jnp.sqrt(jnp.float32(head_dim)), axis=-1)
+        alpha = softmax(scores / jnp.sqrt(jnp.float32(head_dim)), axis=-1)
         out = jnp.einsum("bhst,bhtd->bhsd", alpha, v, precision=_PRECISION)
         out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         return linear(out, proj_w, proj_b)
@@ -490,9 +502,7 @@ def attention(
     # scores[b,s,t,h] = sum_d k[b,s,h,d] q[b,t,h,d]  (k-major, softmax over q)
     acc = jnp.float32 if ATTN_SUM_FP32_ACCUM else None
     scores = jnp.sum(kh[:, :, None] * qh[:, None], axis=-1, dtype=acc)  # [B, S, T, H]
-    alpha = jax.nn.softmax(
-        scores.astype(jnp.float32) / scale, axis=2
-    ).astype(x.dtype)
+    alpha = softmax(scores / scale, axis=2).astype(x.dtype)
     head_out = jnp.sum(alpha[..., None] * vh[:, None], axis=2, dtype=acc)  # [B, S, H, hd]
     # keep the tier's residency dtype downstream (no-op unless accum differs)
     head_out = head_out.astype(x.dtype)
@@ -847,9 +857,7 @@ def attention_csb(
         v = linear_csb(x, qkv_w[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim],
                        qkv_b[2 * dim + h * head_dim : 2 * dim + (h + 1) * head_dim])
         scores = jnp.einsum("dsb,dtb->stb", k, q, precision=_PRECISION)
-        alpha = jax.nn.softmax(
-            scores.astype(jnp.float32) / scale, axis=1
-        ).astype(x.dtype)
+        alpha = softmax(scores / scale, axis=1).astype(x.dtype)
         head_out = jnp.einsum("stb,dtb->dsb", alpha, v, precision=_PRECISION)
         proj = jnp.einsum(
             "od,dsb->osb",
