@@ -194,6 +194,64 @@ def test_batch_segmenter_checkpoint_mid_stream(backend):
     assert second.finish() == expected
 
 
+def test_sharded_checkpoint_resume_on_mesh(v31_params, tmp_path):
+    """Sharded engine checkpointing (VERDICT r3 item 4): save/restore a
+    MultiHostStreamEngine's globally-sharded state by per-process
+    addressable shards on the 8-virtual-device mesh; the resumed
+    continuation is bit-identical, and the segmenter state rides along."""
+    from vadc_tpu.cli.segmenter import SegmenterConfig
+    from vadc_tpu.engine import checkpoint as ckpt_mod
+    from vadc_tpu.engine.distributed import MultiHostStreamEngine
+    from vadc_tpu.engine.vectorized_segmenter import BatchSegmenter
+
+    engine = MultiHostStreamEngine("v3", v31_params)
+    n = 16
+    rng = np.random.default_rng(4)
+    head = (rng.normal(size=(n, 2, 1536)) * 0.1).astype(np.float32)
+    tail = (rng.normal(size=(n, 2, 1536)) * 0.1).astype(np.float32)
+
+    state = engine.init_state(n)
+    probs, state = engine.scan(head, state)
+    seg = BatchSegmenter(SegmenterConfig(), n)
+    seg.feed(probs)
+
+    prefix = tmp_path / "ckpt"
+    path = ckpt_mod.save_sharded(engine, state, prefix, segmenter=seg)
+    assert path.name == "ckpt.proc0of1.testtensor"
+    live, _ = engine.scan(tail, state)  # donates state
+
+    restored_state, ckpt = ckpt_mod.load_sharded(engine, prefix)
+    assert ckpt.family == "v3"
+    seg2 = BatchSegmenter(SegmenterConfig(), n)
+    ckpt.restore_segmenter(seg2)
+    assert seg2._raw == seg._raw
+    resumed, _ = engine.scan(tail, restored_state)
+    np.testing.assert_array_equal(resumed, live)
+
+    # layout mismatch is a one-line diagnosis, not a silent misassignment
+    class _OtherLayout:
+        process_id, n_processes = 0, 4
+    with pytest.raises(FileNotFoundError, match="saved layout differs"):
+        ckpt_mod.load_sharded(_OtherLayout(), prefix)
+
+
+def test_checkpoint_refuses_nonaddressable_state(v31_params):
+    """A globally-sharded state that reaches EngineCheckpoint directly (not
+    via local_state) must raise the pointed diagnosis, not XLA's opaque
+    error. Simulated: a stand-in array reporting is_fully_addressable=False
+    (single-process CPU cannot create a truly non-addressable array)."""
+    from vadc_tpu.engine.checkpoint import EngineCheckpoint
+    from vadc_tpu.engine.runner import init_stream_state
+
+    class _Global:
+        is_fully_addressable = False
+
+    state = init_stream_state("v3", 2)
+    state.h = _Global()
+    with pytest.raises(ValueError, match="save_sharded"):
+        EngineCheckpoint("v3", state).to_bytes()
+
+
 def test_pending_segments_roundtrip():
     from vadc_tpu.engine.checkpoint import EngineCheckpoint
     from vadc_tpu.engine.runner import init_stream_state

@@ -71,7 +71,29 @@ def _child(coordinator: str, process_id: int) -> int:
     ref_mine = np.asarray(ref)[process_id * local : (process_id + 1) * local]
     dev = float(np.abs(probs_local - ref_mine).max())
     assert dev < 1e-5, f"process {process_id}: local probs deviate {dev}"
-    print(f"process {process_id}: ok (dev {dev:.2e})", flush=True)
+
+    # sharded checkpoint: each process saves ITS slice of the global state,
+    # restores it, and the continuation must be bit-identical to running on
+    # with the live state (engine/checkpoint.py save_sharded/load_sharded)
+    import tempfile
+
+    from vadc_tpu.engine import checkpoint as ckpt_mod
+
+    prefix = os.path.join(tempfile.gettempdir(), "vadc_dryrun_ckpt")
+    ckpt_mod.save_sharded(engine, state, prefix)
+    tail = (rng.normal(size=(N_STREAMS, 2, CHUNK)) * 0.1).astype(np.float32)
+    mine_tail = tail[process_id * local : (process_id + 1) * local]
+    live_probs, _ = engine.scan(mine_tail, state)  # donates `state`
+
+    restored, ckpt = ckpt_mod.load_sharded(engine, prefix)
+    assert ckpt.family == "v3"
+    resumed_probs, _ = engine.scan(mine_tail, restored)
+    np.testing.assert_array_equal(resumed_probs, live_probs)
+    print(
+        f"process {process_id}: ok (dev {dev:.2e}; sharded checkpoint "
+        "resume bit-identical)",
+        flush=True,
+    )
     return 0
 
 

@@ -27,6 +27,19 @@ from vadc_tpu.engine.runner import StreamState
 from vadc_tpu.engine.vectorized_segmenter import BatchSegmenter, FsmState
 
 
+def _host(arr) -> np.ndarray:
+    """Materialize state to host, refusing non-addressable global arrays
+    with a pointed diagnosis instead of XLA's (np.asarray on a
+    multi-process-sharded array raises an opaque RuntimeError)."""
+    if not getattr(arr, "is_fully_addressable", True):
+        raise ValueError(
+            "model state is sharded across processes; checkpoint each "
+            "process's own slice: engine.local_state(state) -> "
+            "EngineCheckpoint, or use checkpoint.save_sharded/load_sharded"
+        )
+    return np.asarray(arr)
+
+
 @dataclass
 class EngineCheckpoint:
     """Complete resumable state of a batch of streams.
@@ -52,11 +65,11 @@ class EngineCheckpoint:
                 self.family.encode("ascii"), dtype=np.uint8
             ).astype(np.float32),
             "meta.chunk_index": np.asarray([self.chunk_index], np.float32),
-            "model.h": np.asarray(self.model_state.h),
-            "model.c": np.asarray(self.model_state.c),
+            "model.h": _host(self.model_state.h),
+            "model.c": _host(self.model_state.c),
         }
         if self.model_state.context is not None:
-            tensors["model.context"] = np.asarray(self.model_state.context)
+            tensors["model.context"] = _host(self.model_state.context)
         if self.fsm_state is not None:
             tensors["fsm.triggered"] = np.asarray(self.fsm_state.triggered, np.float32)
             tensors["fsm.speech_start"] = np.asarray(
@@ -197,3 +210,65 @@ class EngineCheckpoint:
     @classmethod
     def load(cls, path: str | Path) -> "EngineCheckpoint":
         return cls.from_bytes(Path(path).read_bytes())
+
+
+# -- multi-process sharded checkpointing ---------------------------------
+#
+# A MultiHostStreamEngine's state is globally sharded: no process can
+# materialize it whole (np.asarray on it is refused above). Instead each
+# process saves ITS OWN stream slice — addressable shards only, no
+# collective, no cross-host traffic — to `<prefix>.proc<i>of<n>.testtensor`.
+# Restore is symmetric: each process loads its own file and the engine
+# reassembles the globally-sharded device state from the local slices
+# (jax.make_array_from_process_local_data). Host-side segmentation state
+# (BatchSegmenter raw segments, pending merges) is per-process by
+# construction — each process segments only the streams it feeds — so it
+# rides in the same per-process file.
+
+
+def shard_path(prefix: str | Path, process_id: int, n_processes: int) -> Path:
+    return Path(f"{prefix}.proc{process_id}of{n_processes}.testtensor")
+
+
+def save_sharded(
+    engine,
+    state: StreamState,
+    prefix: str | Path,
+    *,
+    segmenter: BatchSegmenter | None = None,
+    pending: list[tuple[int, int] | None] | None = None,
+) -> Path:
+    """Checkpoint this process's slice of a MultiHostStreamEngine.
+
+    Every process must call this (with its own engine/segmenter); the
+    result is one file per process under the shared `prefix`."""
+    local = engine.local_state(state)
+    family = engine.runner.family
+    if segmenter is not None:
+        ckpt = EngineCheckpoint.capture(family, local, segmenter, pending=pending)
+    else:
+        ckpt = EngineCheckpoint(family, local, pending=pending)
+    path = shard_path(prefix, engine.process_id, engine.n_processes)
+    ckpt.save(path)
+    return path
+
+
+def load_sharded(
+    engine, prefix: str | Path
+) -> tuple[StreamState, EngineCheckpoint]:
+    """Load this process's slice and rebuild globally-sharded device state.
+
+    Returns (state, checkpoint); the checkpoint carries the segmentation
+    fields for `restore_segmenter` on this process's BatchSegmenter. The
+    saved process count must match the running cluster (a resharding
+    restore would silently misassign streams to processes)."""
+    path = shard_path(prefix, engine.process_id, engine.n_processes)
+    if not path.exists():
+        existing = sorted(Path(path).parent.glob(f"{Path(prefix).name}.proc*"))
+        raise FileNotFoundError(
+            f"{path} not found — saved layout differs from the running "
+            f"cluster ({engine.n_processes} processes); on disk: "
+            f"{[p.name for p in existing] or 'nothing'}"
+        )
+    ckpt = EngineCheckpoint.load(path)
+    return engine.state_from_local(ckpt.model_state), ckpt

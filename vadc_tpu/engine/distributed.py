@@ -118,11 +118,53 @@ class MultiHostStreamEngine:
 
     def _local(self, global_probs) -> np.ndarray:
         """This process's streams' probabilities, in feed order."""
-        shards = sorted(
-            global_probs.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return _addressable_local(global_probs, 0)
 
+    # -- checkpointing (per-process addressable shards) -------------------
+
+    def local_state(self, state) -> "StreamState":
+        """This process's stream slice of the model state, as host numpy
+        arrays — addressable shards only, NO cross-host gather or
+        collective. Feed the result to EngineCheckpoint: each process
+        checkpoints its own slice (see checkpoint.save_sharded)."""
+        from vadc_tpu.engine.runner import StreamState
+
+        return StreamState(
+            _addressable_local(state.h, 1),
+            _addressable_local(state.c, 1),
+            None
+            if state.context is None
+            else _addressable_local(state.context, 0),
+        )
+
+    def state_from_local(self, local) -> "StreamState":
+        """Rebuild globally-sharded device state from this process's local
+        slice (inverse of local_state). Every process must call this with
+        its own slice; the result carries the engine's state shardings and
+        is directly usable by step/scan."""
+        import jax
+
+        from vadc_tpu.engine.runner import StreamState
+
+        shardings = self.runner._state_shardings
+
+        def put(arr, sharding, batch_axis):
+            arr = np.asarray(arr)
+            if self.n_processes == 1:
+                return jax.device_put(arr, sharding)
+            global_shape = list(arr.shape)
+            global_shape[batch_axis] *= self.n_processes
+            return jax.make_array_from_process_local_data(
+                sharding, arr, tuple(global_shape)
+            )
+
+        return StreamState(
+            put(local.h, shardings.h, 1),
+            put(local.c, shardings.c, 1),
+            None
+            if local.context is None
+            else put(local.context, shardings.context, 0),
+        )
     def step(self, local_chunks: np.ndarray, state):
         """local_chunks [B_local, chunk] -> (local probs [B_local], state)."""
         chunks = self._global(np.asarray(local_chunks), self._chunk_sharding)
@@ -134,3 +176,12 @@ class MultiHostStreamEngine:
         chunks = self._global(np.asarray(local_chunks), self._chunk_sharding_t)
         probs, state = self.runner.scan(chunks, state)
         return self._local(probs), state
+
+
+def _addressable_local(arr, batch_axis: int) -> np.ndarray:
+    """Concatenate this process's addressable shards along the batch axis,
+    ordered by global position."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[batch_axis].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=batch_axis)
