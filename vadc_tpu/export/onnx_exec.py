@@ -34,6 +34,13 @@ class UnsupportedOnnxOp(NotImplementedError):
     pass
 
 
+class OnnxExecError(ValueError):
+    """One-line diagnosis of a graph-execution failure: which node, which
+    op, and what went wrong — never a bare numpy/KeyError traceback.
+    Mirrors the loud single-line failure style of the reference's ORT
+    error macro (onnx_helpers.h:5-14)."""
+
+
 _CAST_DTYPES = {
     1: np.float32,
     2: np.uint8,
@@ -44,6 +51,13 @@ _CAST_DTYPES = {
     10: np.float16,
     11: np.float64,
 }
+
+
+def _node_id(node: OnnxNode, index: int) -> str:
+    label = f" '{node.name}'" if node.name else ""
+    outs = [o for o in node.outputs if o]
+    to = f" -> {outs[0]}" if outs else ""
+    return f"node #{index} {node.op_type}{label}{to}"
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -232,17 +246,41 @@ class OnnxExecutor:
         return cls(parse_model(path))
 
     def run(self, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        missing = [n for n in self.input_names if n not in feeds]
+        if missing:
+            raise OnnxExecError(
+                f"missing feeds for graph inputs {missing} "
+                f"(declared inputs: {self.input_names})"
+            )
         env: dict[str, np.ndarray] = {
             k: np.asarray(v) for k, v in feeds.items()
         }
         self._run_graph(self.graph, env)
+        absent = [n for n in self.output_names if n not in env]
+        if absent:
+            raise OnnxExecError(
+                f"graph declares outputs {absent} that no node produced "
+                "(producer node dropped or output renamed)"
+            )
         return {name: env[name] for name in self.output_names}
 
     def _run_graph(self, graph: OnnxGraph, env: dict) -> None:
         for name, arr in graph.initializers.items():
             env.setdefault(name, arr)
-        for node in graph.nodes:
-            self._run_node(node, env)
+        for i, node in enumerate(graph.nodes):
+            undefined = [t for t in node.inputs if t and t not in env]
+            if undefined:
+                raise OnnxExecError(
+                    f"{_node_id(node, i)}: undefined input tensor(s) "
+                    f"{undefined} — producer dropped, or a tensor was renamed"
+                )
+            try:
+                self._run_node(node, env)
+            except (OnnxExecError, UnsupportedOnnxOp):
+                raise
+            except Exception as e:  # numpy shape/dtype/index errors etc.
+                cause = " ".join(str(e).split()) or type(e).__name__
+                raise OnnxExecError(f"{_node_id(node, i)}: {cause}") from e
 
     # ---- node dispatch -------------------------------------------------
     def _run_node(self, node: OnnxNode, env: dict) -> None:
