@@ -278,6 +278,90 @@ def snr_sweep(
     }
 
 
+def _degradations(sr: int, seed: int):
+    """The robustness matrix: (name, transform(audio, truth) -> audio).
+    Ground truth is preserved by construction for every entry (confusers
+    mix UNDER the foreground at calibrated SNR; codecs are lossy but
+    label-safe; reverb trims to input length)."""
+    from vadc_tpu.io import degrade
+
+    return [
+        ("clean", lambda a, t: a),
+        ("reverb_rt60_0.4s", lambda a, t: degrade.reverb(a, sr, 0.4, seed=seed)),
+        ("reverb_rt60_0.8s", lambda a, t: degrade.reverb(a, sr, 0.8, seed=seed)),
+        # two band-limits separate channel coloration from fundamental
+        # removal: the telephone band (300-3400) cuts the generator's
+        # 140-210 Hz f0 entirely, and v3.1 stops detecting the synthetic
+        # harmonic stack without its fundamental (measured: frame recall
+        # 0.05, precision still 1.0 — no false alarms). Real telephony
+        # speech carries formant-transition cues the stationary synthetic
+        # lacks; the 8 kHz families are the product answer for that band.
+        ("bandlimit_300_3400", lambda a, t: degrade.bandlimit(a, sr)),
+        ("bandlimit_100_7000",
+         lambda a, t: degrade.bandlimit(a, sr, 100.0, min(7000.0, sr / 2 - 1))),
+        ("clip_12dB", lambda a, t: degrade.clip(a, 0.25)),
+        ("g711_mu", lambda a, t: degrade.g711_roundtrip(a, law="mu")),
+        ("g711_a", lambda a, t: degrade.g711_roundtrip(a, law="a")),
+        ("ima_adpcm", lambda a, t: degrade.adpcm_roundtrip(a)),
+        (
+            "babble_10dB",
+            lambda a, t: degrade.mix_background(
+                a, t, degrade.babble(10.0, sr, seed=seed + 7), 10.0, sr
+            ),
+        ),
+        (
+            "music_10dB",
+            lambda a, t: degrade.mix_background(
+                a, t, degrade.music(10.0, sr, seed=seed + 8), 10.0, sr
+            ),
+        ),
+    ]
+
+
+def degradation_matrix(
+    *,
+    n_utterances: int = 8,
+    seed: int = 0,
+    precisions=("faithful",),
+    model: str | None = None,
+    collar_ms: float = 200.0,
+    sample_rate: int = 16000,
+) -> dict:
+    """Score the full pipeline per tier x degradation.
+
+    This is where tier deviation claims earn their keep: a tier is
+    'decision-compatible' only if it scores like faithful across the whole
+    matrix, not just on clean material. Reverb rows use a collar wide
+    enough to absorb the physical decay tail (see degrade.reverb)."""
+    from vadc_tpu import api
+    from vadc_tpu.io.synthaudio import utterance_track
+
+    audio, truth = utterance_track(n_utterances, seed=seed, sr=sample_rate)
+    total_s = len(audio) / sample_rate
+    rows = []
+    for name, transform in _degradations(sample_rate, seed):
+        degraded = transform(audio, truth)
+        collar = collar_ms / 1000.0
+        if name.startswith("reverb"):
+            rt60 = float(name.rsplit("_", 1)[1][:-1])
+            collar = max(collar, rt60)  # decay tail is real speech energy
+        for precision in precisions:
+            detected = api.detect_speech_samples(
+                degraded, precision=precision, model=model
+            )
+            row = {"degradation": name, "precision": precision,
+                   "collar_ms": round(collar * 1000.0, 1)}
+            row.update(score_frames(truth, detected, total_s, collar))
+            row.update(score_segments(truth, detected))
+            rows.append(row)
+    return {
+        "utterances": n_utterances,
+        "seed": seed,
+        "sample_rate": sample_rate,
+        "rows": rows,
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--utterances", type=int, default=20)
@@ -292,6 +376,10 @@ def main() -> int:
     p.add_argument("--snr_sweep", action="store_true",
                    help="score at additive-noise SNRs 30..0 dB (vs voiced-"
                         "region power); the detection-robustness curve")
+    p.add_argument("--degradation_matrix", action="store_true",
+                   help="score per tier x degradation (reverb, band-limit, "
+                        "clipping, G.711/ADPCM round-trips, babble/music "
+                        "background)")
     p.add_argument("--noise_color", default="white",
                    choices=("white", "pink"))
     p.add_argument("--model", default=None)
@@ -303,6 +391,18 @@ def main() -> int:
     from vadc_tpu.runtime import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    if args.degradation_matrix:
+        tiers = (
+            ("faithful", "balanced", "fast", "turbo")
+            if args.all_tiers
+            else (args.precision,)
+        )
+        print(json.dumps(degradation_matrix(
+            n_utterances=args.utterances, seed=args.seed,
+            precisions=tiers, model=args.model,
+            collar_ms=args.collar_ms, sample_rate=args.sr,
+        ), indent=2))
+        return 0
     if args.snr_sweep:
         print(json.dumps(snr_sweep(
             n_utterances=args.utterances, seed=args.seed,
