@@ -335,7 +335,8 @@ def main():
         from serve_bench import run_serving_bench
 
         serving = run_serving_bench(
-            n_clients=64, seconds=20.0, rtf=4.0, precision="turbo", churn=True
+            n_clients=64, seconds=20.0, rtf=4.0, precision="turbo",
+            churn=True, checkpoint=True, faults=True,
         )
         for k in (
             "aggregate_realtime_x",
@@ -348,6 +349,12 @@ def main():
             "client_errors",
             "churn_clients",
             "churn_errors",
+            "fault_slowloris_errors",
+            "fault_midwav_aborts",
+            "fault_malformed",
+            "fault_malformed_diagnosed",
+            "post_fault_delivery_exact",
+            "rss_growth_mb",
         ):
             # tick latency includes the device step, which through the
             # remote-device tunnel is RTT-dominated (~30 ms); label it so
@@ -355,14 +362,20 @@ def main():
             key = f"serving_{k}"
             if k.startswith("tick_"):
                 key += "_incl_tunnel_rtt"
-            configs[key] = serving[k]
+            if k in serving:
+                configs[key] = serving[k]
         log(
             f"serving: {serving['clients']} clients x {serving['rtf_per_client']}x "
             f"realtime, tick p50/p99 {serving['tick_p50_ms']}/"
             f"{serving['tick_p99_ms']} ms, emit p50 {serving['emit_p50_ms']} ms, "
             f"{serving['aggregate_realtime_x']}x aggregate, "
             f"delivery exact {serving['delivery_exact']}/{serving['clients']}, "
-            f"churn {serving['churn_clients']} ({serving['churn_errors']} errors)"
+            f"churn {serving['churn_clients']} ({serving['churn_errors']} errors), "
+            f"faults: {serving.get('fault_midwav_aborts', 0)} aborts / "
+            f"{serving.get('fault_malformed_diagnosed', 0)}/"
+            f"{serving.get('fault_malformed', 0)} malformed diagnosed, "
+            f"post-fault exact={serving.get('post_fault_delivery_exact')}, "
+            f"rss +{serving.get('rss_growth_mb')} MB"
         )
     except Exception as e:
         log(f"serving bench skipped ({type(e).__name__}: {e})")

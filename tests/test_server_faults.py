@@ -1,0 +1,51 @@
+"""Serving fault injection: slowloris writers, mid-wav-decode aborts, and
+malformed wav headers against a live VadServer — the server must diagnose,
+recycle slots, keep serving, and not grow memory (VERDICT r3 item 8).
+
+Runs the serve_bench fault machinery at CI scale (2 steady clients, short
+cycles) on the CPU mesh."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+from vadc_tpu import native
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.slow
+def test_fault_wave_end_to_end(testdata):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import serve_bench as sb
+    finally:
+        sys.path.pop(0)
+
+    r = sb.run_serving_bench(
+        n_clients=2,
+        seconds=6.0,
+        rtf=8.0,
+        precision="faithful",
+        model=str(testdata / "silero_v31_16k.testtensor"),
+        churn=True,
+        checkpoint=True,
+        faults=True,
+    )
+    # steady clients unharmed by the fault wave
+    assert r["client_errors"] == 0, r
+    assert r["delivery_exact"] == r["clients"], r
+    # every fault class actually fired
+    assert r["fault_midwav_aborts"] >= 1, r
+    assert r["fault_malformed"] >= 1, r
+    assert r["fault_slowloris_errors"] == 0, r
+    # malformed wav headers were diagnosed with the one-line error reply
+    assert r["fault_malformed_diagnosed"] == r["fault_malformed"], r
+    # the server still serves exactly after all fault classes
+    assert r["post_fault_delivery_exact"] is True, r
+    assert r["checkpoint_under_load"] == "ok", r
+    # bounded memory across the wave (CI scale: generous but finite)
+    assert r["rss_growth_mb"] < 256, r

@@ -135,6 +135,101 @@ def _pct(xs, q):
     return xs[min(len(xs) - 1, int(len(xs) * q))]
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+class _SlowlorisClient(threading.Thread):
+    """Dribbles single bytes at a crawl for `seconds`, then closes. The
+    classic slot-exhaustion attack: a healthy server must keep ticking the
+    other slots and recycle this one on close without error."""
+
+    def __init__(self, port: int, seconds: float, byte_period_s: float = 0.05):
+        super().__init__(daemon=True)
+        self.port = port
+        self.seconds = seconds
+        self.byte_period_s = byte_period_s
+        self.error: str | None = None
+
+    def run(self) -> None:
+        try:
+            c = socket.create_connection(("127.0.0.1", self.port), timeout=30)
+            end = time.perf_counter() + self.seconds
+            while time.perf_counter() < end:
+                c.sendall(b"\x00")
+                time.sleep(self.byte_period_s)
+            c.close()
+        except OSError as e:
+            self.error = f"slowloris: {e}"
+
+
+class _MidWavDisconnectClient(threading.Thread):
+    """Sends a valid wav header + partial frames, then ABORTS the
+    connection (RST via SO_LINGER 0) mid-decode. The intake thread must
+    exit cleanly and the slot must recycle."""
+
+    def __init__(self, port: int):
+        super().__init__(daemon=True)
+        self.port = port
+        self.error: str | None = None
+
+    def run(self) -> None:
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(np.zeros(44100 * 2, "<i2").tobytes())
+        payload = buf.getvalue()[: len(buf.getvalue()) // 2]
+        try:
+            c = socket.create_connection(("127.0.0.1", self.port), timeout=30)
+            c.sendall(payload)
+            time.sleep(0.2)  # let the decoder start
+            c.setsockopt(
+                socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0)
+            )
+            c.close()  # RST
+        except OSError as e:
+            self.error = f"midwav: {e}"
+
+
+class _MalformedWavClient(threading.Thread):
+    """RIFF/WAVE magic followed by a garbage chunk layout: the server must
+    answer with a one-line `error: ...` diagnosis, never die or hang."""
+
+    def __init__(self, port: int):
+        super().__init__(daemon=True)
+        self.port = port
+        self.error: str | None = None
+        self.diagnosed = False
+
+    def run(self) -> None:
+        bad = b"RIFF" + (9999).to_bytes(4, "little") + b"WAVE" + b"\xde\xad" * 64
+        try:
+            c = socket.create_connection(("127.0.0.1", self.port), timeout=30)
+            c.sendall(bad)
+            c.shutdown(socket.SHUT_WR)
+            c.settimeout(30)
+            data = b""
+            while True:
+                got = c.recv(4096)
+                if not got:
+                    break
+                data += got
+            c.close()
+            self.diagnosed = data.decode(errors="replace").startswith("error:")
+        except OSError as e:
+            self.error = f"malformed: {e}"
+
+
 def run_serving_bench(
     n_clients: int = 64,
     seconds: float = 30.0,
@@ -143,6 +238,7 @@ def run_serving_bench(
     model: str | None = None,
     churn: bool = False,
     checkpoint: bool = False,
+    faults: bool = False,
 ) -> dict:
     from vadc_tpu import native
     from vadc_tpu.server import VadServer
@@ -154,7 +250,7 @@ def run_serving_bench(
     # without starving the steady clients
     srv = VadServer(
         port=0,
-        max_streams=n_clients + (2 if churn else 0),
+        max_streams=n_clients + (2 if churn else 0) + (3 if faults else 0),
         model=model,
         precision=precision,
     )
@@ -195,6 +291,38 @@ def run_serving_bench(
         churn_thread = threading.Thread(target=churner, daemon=True)
         churn_thread.start()
 
+    fault_threads: list[threading.Thread] = []
+    fault_waves: list[threading.Thread] = []
+    rss_before = _rss_mb()
+    if faults:
+        # fault wave rides ON TOP of the steady load (and churn, when on):
+        # a crawling writer holding a slot, repeated mid-wav-decode aborts,
+        # and malformed wav headers — all while checkpoints may fire
+        slow = _SlowlorisClient(port, min(seconds, 10.0))
+        fault_threads.append(slow)
+        slow.start()
+
+        def abort_wave():
+            while any(cl.is_alive() for cl in clients):
+                t = _MidWavDisconnectClient(port)
+                fault_threads.append(t)
+                t.start()
+                t.join(timeout=60)
+                time.sleep(0.3)  # slot recycle before the next abort
+
+        def malformed_wave():
+            while any(cl.is_alive() for cl in clients):
+                t = _MalformedWavClient(port)
+                fault_threads.append(t)
+                t.start()
+                t.join(timeout=60)
+                time.sleep(0.5)
+
+        for wave in (abort_wave, malformed_wave):
+            th = threading.Thread(target=wave, daemon=True)
+            fault_waves.append(th)
+            th.start()
+
     if checkpoint:
         time.sleep(min(5.0, seconds / 2))
         srv.save_checkpoint("/tmp/serve_bench_ckpt.npz")
@@ -208,6 +336,32 @@ def run_serving_bench(
     if churn_thread is not None:
         churn_stop.set()
         churn_thread.join(timeout=180)
+    fault_results: dict = {}
+    if faults:
+        # finalize the fault wave and probe health BEFORE the server stops
+        for th in fault_waves:  # wave generators first (they spawn clients)
+            th.join(timeout=120)
+        for t in fault_threads:
+            t.join(timeout=60)
+        # post-fault health probe: one fresh client must still get exact
+        # segment delivery after every fault class has fired
+        probe = _Client(port, pcm_cycle, 1, srv.chunk * 2, rtf)
+        probe.start()
+        probe.join(timeout=120)
+        malformed = [t for t in fault_threads if isinstance(t, _MalformedWavClient)]
+        aborts = [t for t in fault_threads if isinstance(t, _MidWavDisconnectClient)]
+        fault_results = {
+            "fault_slowloris_errors": sum(
+                1 for t in fault_threads
+                if isinstance(t, _SlowlorisClient) and t.error
+            ),
+            "fault_midwav_aborts": len(aborts),
+            "fault_malformed": len(malformed),
+            "fault_malformed_diagnosed": sum(1 for t in malformed if t.diagnosed),
+            "post_fault_delivery_exact": len(probe.segments) == segs_per_cycle
+            and probe.error is None,
+            "rss_growth_mb": round(_rss_mb() - rss_before, 1),
+        }
     srv._stop.set()
     sock.close()
 
@@ -239,6 +393,7 @@ def run_serving_bench(
     }
     if checkpoint:
         result["checkpoint_under_load"] = "ok"
+    result.update(fault_results)
     return result
 
 
@@ -254,6 +409,9 @@ def main(argv=None) -> int:
     ap.add_argument("--model", default=None)
     ap.add_argument("--churn", action="store_true")
     ap.add_argument("--checkpoint", action="store_true")
+    ap.add_argument("--faults", action="store_true",
+                    help="inject slowloris / mid-wav-abort / malformed-wav "
+                         "clients during the run and probe post-fault health")
     args = ap.parse_args(argv)
 
     from vadc_tpu.runtime import enable_persistent_compilation_cache
@@ -267,6 +425,7 @@ def main(argv=None) -> int:
         model=args.model,
         churn=args.churn,
         checkpoint=args.checkpoint,
+        faults=args.faults,
     )
     print(json.dumps(result))
     return 0

@@ -115,6 +115,11 @@ class VadServer:
         # slot whose fd isn't attached yet
         self._attached = np.zeros(self.n, bool)
         self._lock = threading.Lock()
+        # serializes the engine tick (which DONATES self.state to the jit
+        # call) against checkpoint snapshots: without it, save_checkpoint
+        # under load can materialize an already-donated array ("Array has
+        # been deleted") — found by the serving fault-injection wave
+        self._state_lock = threading.Lock()
         self._reset_requests: list[int] = []
         # slots restored from a checkpoint: the next client accepted on such
         # a slot continues the saved stream (no state reset; inherits the
@@ -392,23 +397,39 @@ class VadServer:
         from vadc_tpu.engine.checkpoint import EngineCheckpoint
         from vadc_tpu.engine.vectorized_segmenter import FsmState
 
+        from vadc_tpu.engine.runner import StreamState
+
         fsm = self.fsm
         with self._lock:
             pending = [
                 None if s is None else s.pending for s in self.slots
             ]
-        EngineCheckpoint(
-            family=self.family,
-            model_state=self.state,
-            fsm_state=FsmState(
+        # snapshot under the state lock: the engine tick donates
+        # self.state's buffers, so an unsynchronized read under load can
+        # materialize an already-deleted array; fsm arrays are copied in
+        # the same critical section so the snapshot is one tick's view
+        with self._state_lock:
+            state = StreamState(
+                np.asarray(self.state.h),
+                np.asarray(self.state.c),
+                None
+                if self.state.context is None
+                else np.asarray(self.state.context),
+            )
+            fsm_state = FsmState(
                 triggered=jnp.asarray(fsm.triggered.astype(bool)),
                 speech_start=jnp.asarray(fsm.speech_start.astype(np.int32)),
                 temp_end=jnp.asarray(fsm.temp_end.astype(np.int32)),
                 chunk_index=jnp.int32(int(fsm.chunk_index.max(initial=0))),
-            ),
-            chunk_index=int(fsm.chunk_index.max(initial=0)),
+            )
+            chunk_indices = fsm.chunk_index.astype(np.int32).copy()
+        EngineCheckpoint(
+            family=self.family,
+            model_state=state,
+            fsm_state=fsm_state,
+            chunk_index=int(chunk_indices.max(initial=0)),
             pending=pending,
-            chunk_indices=fsm.chunk_index.astype(np.int32).copy(),
+            chunk_indices=chunk_indices,
         ).save(path)
 
     def restore_checkpoint(self, path) -> None:
@@ -460,15 +481,22 @@ class VadServer:
             active = ready > 0
             if count or reset.any():
                 t0 = time.perf_counter()
-                probs, self.state = self._tick(
-                    self._params,
-                    jnp.asarray(batch),
-                    self.state,
-                    jnp.asarray(active),
-                    jnp.asarray(reset),
-                )
+                with self._state_lock:
+                    probs, self.state = self._tick(
+                        self._params,
+                        jnp.asarray(batch),
+                        self.state,
+                        jnp.asarray(active),
+                        jnp.asarray(reset),
+                    )
+                    # FSM feed stays inside the lock so a checkpoint always
+                    # sees model state and FSM arrays from the same tick
+                    events = (
+                        self.fsm.feed(np.asarray(probs)[:, None], active=active)
+                        if count
+                        else []
+                    )
                 if count:
-                    events = self.fsm.feed(np.asarray(probs)[:, None], active=active)
                     # latency is measured from the feed() that produced the
                     # events, NOT reset per emit: all of a tick's events
                     # become visible at t_ev, so the k-th event's recorded
