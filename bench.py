@@ -71,19 +71,38 @@ def _steady_state_once(runner, batch, chunk, key, t_short_len, t_long_len, reps)
     return diffs
 
 
-def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
+def _summarize(diffs):
+    """Median + IQR of per-chunk-step timings. The median is the reported
+    number (robust to single inflated/deflated reps either way — min-of-
+    reps overstated throughput on jittery fast configs, and was also how
+    the r2->r3 'regressions' appeared: single-rep luck, not code);
+    the IQR separates real movement from tunnel noise."""
+    xs = sorted(diffs)
+    n = len(xs)
+    med = xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+    q1 = xs[max(0, (n - 1) // 4)]
+    q3 = xs[min(n - 1, (3 * (n - 1)) // 4)]
+    return {
+        "median": max(med, 1e-9),
+        "iqr": max(q3 - q1, 0.0),
+        "best": max(xs[0], 1e-9),
+        "reps": n,
+    }
+
+
+def steady_state_per_chunk(runner, batch, chunk, key, reps=5):
     """Sustained steady-state seconds per chunk-step via interleaved
-    long/short scan differences on a warmed chip. Very fast configs are
-    re-measured with proportionally longer scans AND summarized by the
-    MEDIAN: when the difference carries little signal over the ~ms-level
-    tunnel-RTT jitter, taking the min keeps whichever rep had an inflated
-    short-scan time and can overstate throughput several-fold."""
+    long/short scan differences on a warmed chip: median + IQR over >=5
+    repeats (VERDICT r3 item 1: single-number reports made regressions and
+    noise indistinguishable). Very fast configs are re-measured with
+    proportionally longer scans so the difference carries signal over the
+    ~ms-level tunnel-RTT jitter. Returns the stats dict from _summarize."""
     import jax
 
     k1, k2 = jax.random.split(key)
     diffs = _steady_state_once(runner, batch, chunk, k1, T_SHORT, T_LONG, reps)
-    per = min(diffs)
-    if per * (T_LONG - T_SHORT) < 0.05:  # under 50 ms of signal
+    stats = _summarize(diffs)
+    if stats["median"] * (T_LONG - T_SHORT) < 0.05:  # under 50 ms of signal
         # Bound the longer-scan audio buffer: the generator output and the
         # scan's in-flight copy hold ~2 audio-sized fp32 buffers on a
         # ~15.75G chip, and a 4x scan at batch 1024 x chunk 1536 (v4 fast,
@@ -101,8 +120,62 @@ def steady_state_per_chunk(runner, batch, chunk, key, reps=3):
             factor * T_LONG,
             max(reps, 5) + (3 if factor < 4 else 0),
         )
-        per = sorted(diffs)[len(diffs) // 2]
-    return max(per, 1e-9)
+        stats = _summarize(diffs)
+    return stats
+
+
+def _load_previous_bench():
+    """Latest BENCH_r*.json next to this script (the auto-diff baseline)."""
+    import re
+    from pathlib import Path
+
+    best = None
+    for p in Path(__file__).parent.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json$", p.name)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, p)
+    if best is None:
+        return None, None
+    try:
+        data = json.loads(best[1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None, None
+    # the driver wraps bench stdout as {"n", "cmd", "rc", "tail", "parsed"}
+    if "configs" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return best[0], data
+
+
+def diff_against_previous(configs, log):
+    """Flag any shared numeric config that moved >10% vs the last round's
+    BENCH_r*.json. The flags ride in the output JSON so a regression is
+    visible in the artifact itself, not just the stderr log."""
+    prev_round, prev = _load_previous_bench()
+    if prev is None:
+        return {}
+    prev_configs = prev.get("configs", {})
+    moved = {}
+    for k, v in configs.items():
+        pv = prev_configs.get(k)
+        if (
+            isinstance(v, (int, float))
+            and isinstance(pv, (int, float))
+            and not isinstance(v, bool)
+            and not isinstance(pv, bool)
+            and pv
+        ):
+            rel = (v - pv) / abs(pv)
+            if abs(rel) > 0.10:
+                moved[k] = {"prev": pv, "now": v, "rel": round(rel, 3)}
+    if moved:
+        log(f"vs BENCH_r{prev_round:02d}: {len(moved)} configs moved >10%:")
+        for k, d in sorted(moved.items(), key=lambda kv: -abs(kv[1]["rel"])):
+            log(f"  {k}: {d['prev']} -> {d['now']} ({d['rel']:+.0%})")
+    else:
+        log(f"vs BENCH_r{prev_round:02d}: no config moved >10%")
+    return {"baseline_round": prev_round, "moved": moved}
 
 
 def step_percentiles(runner, batch, chunk, key):
@@ -213,10 +286,13 @@ def main():
         try:
             runner = StreamRunner("v3", v31, precision=kwargs["precision"],
                                   use_pallas=kwargs.get("use_pallas", False))
-            per_chunk = steady_state_per_chunk(runner, batch, 1536, next(keys))
+            stats = steady_state_per_chunk(runner, batch, 1536, next(keys))
+            per_chunk = stats["median"]
             streams = batch * chunk_s / per_chunk
             results[name] = streams
             configs[f"v3_{name}_ms_per_chunk_step"] = round(per_chunk * 1e3, 4)
+            configs[f"v3_{name}_ms_iqr"] = round(stats["iqr"] * 1e3, 4)
+            configs[f"v3_{name}_ms_best"] = round(stats["best"] * 1e3, 4)
             configs[f"v3_{name}_streams_per_chip"] = round(streams, 1)
             # record probabilities for deviation reporting
             audio = jax.jit(
@@ -224,8 +300,10 @@ def main():
             )(jax.random.key(7))
             p, _ = runner.scan(audio, runner.init_state(256))
             probs_by_mode[name] = np.asarray(p)
-            log(f"v3 {name:9s}: {per_chunk*1e3:7.3f} ms/chunk-step -> "
-                f"{streams:10.0f} streams at realtime (batch {batch}, steady-state)")
+            log(f"v3 {name:9s}: {per_chunk*1e3:7.3f} ms/chunk-step "
+                f"(IQR {stats['iqr']*1e3:.3f}, best {stats['best']*1e3:.3f}, "
+                f"n={stats['reps']}) -> {streams:10.0f} streams at realtime "
+                f"(batch {batch}, steady-state)")
         except Exception as e:  # pallas may be unavailable on some toolchains
             log(f"v3 {name}: skipped ({type(e).__name__}: {e})")
 
@@ -244,7 +322,7 @@ def main():
 
     # ---- single-stream RTF ----
     runner1 = StreamRunner("v3", v31)  # faithful: the CLI's default mode
-    per_chunk_1 = steady_state_per_chunk(runner1, 8, 1536, next(keys))
+    per_chunk_1 = steady_state_per_chunk(runner1, 8, 1536, next(keys))["median"]
     rtf = chunk_s / per_chunk_1
     configs["v3_single_stream_rtf"] = round(rtf, 1)
     log(f"v3 single-stream RTF (faithful, steady-state): {rtf:.1f}x")
@@ -283,15 +361,18 @@ def main():
         for tier in ("fast", "turbo"):
             try:
                 runner = StreamRunner(family, params, precision=tier)
-                per_chunk = steady_state_per_chunk(
+                stats = steady_state_per_chunk(
                     runner, fam_batch, chunk, next(keys)
                 )
+                per_chunk = stats["median"]
                 streams = fam_batch * cs / per_chunk
                 configs[f"{family}_{tier}_streams_per_chip"] = round(streams, 1)
                 configs[f"{family}_{tier}_ms_per_chunk_step"] = round(
                     per_chunk * 1e3, 4
                 )
+                configs[f"{family}_{tier}_ms_iqr"] = round(stats["iqr"] * 1e3, 4)
                 log(f"{family:6s} {tier:5s}: {per_chunk*1e3:7.3f} ms/chunk-step"
+                    f" (IQR {stats['iqr']*1e3:.3f}, n={stats['reps']})"
                     f" -> {streams:10.0f} streams at realtime")
             except Exception as e:
                 log(f"{family} {tier}: skipped ({type(e).__name__}: {e})")
@@ -382,6 +463,7 @@ def main():
 
     best_mode, best = max(results.items(), key=lambda kv: kv[1])
     log(f"best: {best_mode} -> {best:.0f} streams/chip")
+    vs_prev = diff_against_previous(configs, log)
     print(
         json.dumps(
             {
@@ -391,6 +473,7 @@ def main():
                 "vs_baseline": round(best / 1000.0, 3),
                 "best_mode": best_mode,
                 "configs": configs,
+                "vs_previous_round": vs_prev,
             }
         )
     )
