@@ -48,11 +48,16 @@ def _record(entry: dict):
     _log(json.dumps(entry))
 
 
-def _runner(precision="turbo"):
+def _runner(precision="turbo", compiler_options=None):
     from vadc_tpu.engine.runner import StreamRunner
     from __graft_entry__ import _load_v31_params
 
-    return StreamRunner("v3", _load_v31_params(), precision=precision)
+    return StreamRunner(
+        "v3",
+        _load_v31_params(),
+        precision=precision,
+        compiler_options=compiler_options,
+    )
 
 
 def measure(runner, reps=5, batch=BATCH):
@@ -243,6 +248,58 @@ def cmd_baseline(label="baseline"):
     })
 
 
+# ---- angle b': TPU-compiler options (the route that actually works) ------
+#
+# XLA_FLAGS is parsed by the LOCAL xla client, which fatally rejects every
+# --xla_tpu_* flag (see the recorded `flags` angle errors): the TPU passes
+# live in the remote compile service. compiler_options passed at
+# .lower().compile() time DO reach it — a bogus option name fails the remote
+# compile, so accepted options are parsed, not dropped.
+
+COPTION_SETS = [
+    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    ("no_rwb_fusion", {"xla_tpu_rwb_fusion": "false"}),
+    ("no_dot_strength", {"xla_tpu_enable_dot_strength_reduction": "false"}),
+    ("licm_inflate_2x", {"xla_tpu_licm_size_inflation_ratio": "2.0"}),
+    ("aggressive_fusion", {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"}),
+    ("async_host_offload", {"xla_tpu_enable_all_experimental_scheduler_features": "true"}),
+    (
+        "vmem_96m_plus_licm",
+        {
+            "xla_tpu_scoped_vmem_limit_kib": "98304",
+            "xla_tpu_licm_size_inflation_ratio": "2.0",
+        },
+    ),
+]
+
+
+def cmd_coptions():
+    """In-process sweep: one StreamRunner per option set; a rejected option
+    surfaces as a remote-compile error, recorded and skipped."""
+    cmd_baseline("coptions:baseline")
+    for name, opts in COPTION_SETS:
+        try:
+            runner = _runner(compiler_options=opts)
+            stats = measure(runner)
+            _record({
+                "angle": "coptions",
+                "variant": name,
+                "options": opts,
+                "ms_median": round(stats["median"] * 1e3, 4),
+                "ms_iqr": round(stats["iqr"] * 1e3, 4),
+                "ms_best": round(stats["best"] * 1e3, 4),
+            })
+        except Exception as e:
+            _record({
+                "angle": "coptions",
+                "variant": name,
+                "options": opts,
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            })
+
+
 # ---- angle c: pipelined half-batches --------------------------------------
 
 
@@ -317,10 +374,13 @@ def main():
         cmd_baseline(label)
     elif cmd == "halves":
         cmd_halves()
+    elif cmd == "coptions":
+        cmd_coptions()
     elif cmd == "all":
         cmd_hlo()
         cmd_variants()
         cmd_halves()
+        cmd_coptions()
     else:
         raise SystemExit(f"unknown command {cmd}")
 

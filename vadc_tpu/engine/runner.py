@@ -94,6 +94,7 @@ class StreamRunner:
         precision: str | None = None,
         use_pallas: bool = False,
         scan_block_chunks: int | None = None,
+        compiler_options: dict | None = None,
     ):
         if precision is None:
             precision = "fast" if fast_math else "faithful"
@@ -139,6 +140,19 @@ class StreamRunner:
             if "scan_tblock" in fns
             else None
         )
+        if compiler_options:
+            # Route the compile through .lower().compile(compiler_options=)
+            # — the only channel that reaches the TPU compiler's own flags on
+            # this backend: XLA_FLAGS is parsed by the LOCAL client, which
+            # fatally rejects every --xla_tpu_* name (the TPU passes live in
+            # the remote compile service). Used by tools/turbo_gap.py's flag
+            # sweep and available in production should a flag ever win.
+            self._step = _JitWithOptions(self._step, compiler_options)
+            self._scan = _JitWithOptions(self._scan, compiler_options)
+            if self._scan_tblock is not None:
+                self._scan_tblock = _JitWithOptions(
+                    self._scan_tblock, compiler_options
+                )
 
     def init_state(self, n_streams: int) -> StreamState:
         return init_stream_state(self.family, n_streams)
@@ -157,6 +171,34 @@ class StreamRunner:
         if self._scan_tblock is not None and tb and chunks.shape[1] % tb == 0:
             return self._scan_tblock(self.params, chunks, state)
         return self._scan(self.params, chunks, state)
+
+
+class _JitWithOptions:
+    """jit wrapper that compiles with backend compiler_options, caching one
+    executable per abstract input signature (donation metadata from the
+    wrapped jit carries through lower/compile unchanged)."""
+
+    def __init__(self, jitfn, options: dict):
+        self._jit = jitfn
+        self._options = dict(options)
+        self._cache: dict = {}
+
+    def __call__(self, *args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        key = (
+            treedef,
+            tuple(
+                (getattr(x, "shape", None), str(getattr(x, "dtype", type(x))))
+                for x in leaves
+            ),
+        )
+        compiled = self._cache.get(key)
+        if compiled is None:
+            compiled = self._jit.lower(*args).compile(
+                compiler_options=self._options
+            )
+            self._cache[key] = compiled
+        return compiled(*args)
 
 
 class _PallasForward:
