@@ -152,6 +152,61 @@ def test_fused2d_attn3d_matches_model(testdata):
     assert_close(hn, hn_ref, 1e-5, "fused2d attn3d hn")
 
 
+def test_stft_dotmag_kernel_parity_interpret(testdata):
+    """Fused spectrum-dot+magnitude kernel (kernels/stft_dotmag.py): the r4
+    attack on the step's #1 HBM intermediate. On-chip it is bit-exact vs the
+    einsum path but 1.8x slower at the op level (remote Mosaic dot
+    throughput — see docs/PERFORMANCE.md round 4), so it ships default-OFF;
+    this keeps both the kernel and its production wiring correct so the
+    experiment re-runs the day the toolchain moves."""
+    from unittest import mock
+
+    import vadc_tpu.kernels.stft_dotmag as sd
+    from vadc_tpu.io.testtensor import load_testtensor
+    from vadc_tpu.nn import functional as F
+
+    basis = jnp.asarray(
+        np.asarray(
+            load_testtensor(testdata / "silero_v31_16k.testtensor")[
+                "forward_basis_buffer"
+            ]
+        ).reshape(258, 256)
+    )
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray((0.1 * rng.normal(size=(8, 1536))).astype(np.float32))
+    # direct kernel parity, fp32 operands
+    frames = F._frame(F.reflect_pad_last(audio, 128, 128), 256, 64)
+    spec = jnp.einsum(
+        "bfn,cn->bfc", frames, basis, preferred_element_type=jnp.float32
+    )
+    ref = jnp.sqrt(spec[:, :, :129] ** 2 + spec[:, :, 129:] ** 2)
+    wr, wi = sd.split_basis(basis)
+    out = sd.dot_magnitude(frames, wr, wi, block_rows=8 * 25, interpret=True)
+    assert_close(out, ref, 1e-5, "dot_magnitude vs einsum")
+
+    # production wiring: the turbo-tier stft_magnitude_nlc routes through
+    # the kernel when STFT_DOTMAG_PALLAS is forced on
+    orig_call = sd.pl.pallas_call
+
+    def force_interpret(*args, **kwargs):
+        # partial(..., interpret=True) would be overridden by the wiring's
+        # explicit interpret=False keyword; force it instead
+        kwargs["interpret"] = True
+        return orig_call(*args, **kwargs)
+
+    with F.precision_mode("turbo"):
+        ref_nlc = F.stft_magnitude_nlc(
+            audio, basis, pad_left=128, pad_right=128, hop=64
+        )
+        with mock.patch.object(
+            sd.pl, "pallas_call", force_interpret
+        ), mock.patch.object(F, "STFT_DOTMAG_PALLAS", True):
+            out_nlc = F.stft_magnitude_nlc(
+                audio, basis, pad_left=128, pad_right=128, hop=64
+            )
+    assert_close(out_nlc, ref_nlc, 2e-5, "stft_magnitude_nlc dotmag wiring")
+
+
 def test_stft_mag_kernel_parity_interpret(testdata):
     """Fused STFT+magnitude kernel (kernels/stft_mag.py, a measured-rejected
     r3 experiment — see its docstring) stays correct in interpret mode so

@@ -158,6 +158,27 @@ def main() -> int:
         1e-5,
     )
 
+    # ---- fused dot+magnitude kernel (r4 experiment, default OFF) ----
+    # On-chip it is bit-exact vs the einsum; the bound allows accumulation-
+    # order noise should the toolchain's dot lowering change.
+    from vadc_tpu.kernels.stft_dotmag import dot_magnitude, split_basis
+
+    basis = params["stft_basis"]  # [258, 256]
+    dm_audio = jnp.asarray(rng.normal(size=(8, 1536)).astype(np.float32) * 0.1)
+    fr16 = F._frame(
+        F.reflect_pad_last(dm_audio, 128, 128), 256, 64
+    ).astype(jnp.bfloat16)
+    b16 = basis.astype(jnp.bfloat16)
+    spec = jnp.einsum("bfn,cn->bfc", fr16, b16, preferred_element_type=jnp.float32)
+    mag_ref = jnp.sqrt(spec[:, :, :129] ** 2 + spec[:, :, 129:] ** 2)
+    wr, wi = split_basis(b16)
+    mag = dot_magnitude(fr16, wr, wi, block_rows=200)
+    check(
+        "stft_dotmag_kernel",
+        float(np.abs(np.asarray(mag) - np.asarray(mag_ref)).max()),
+        1e-5,
+    )
+
     # ---- whole-model fused2d kernel, incl. state carry ----
     from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
 

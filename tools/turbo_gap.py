@@ -300,6 +300,78 @@ def cmd_coptions():
             })
 
 
+# ---- angle d (r4): fused dot+magnitude kernel ------------------------------
+
+
+def cmd_dotmag():
+    """On-chip parity + whole-model A/B of the Pallas fused spectrum-dot +
+    magnitude kernel (kernels/stft_dotmag.py) vs the XLA einsum path, with a
+    block_rows sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from vadc_tpu.kernels import stft_dotmag
+    from vadc_tpu.nn import functional as F
+
+    # parity on the chip at production shapes (bf16 operands, turbo math)
+    rng = jax.random.key(3)
+    frames = jax.random.normal(rng, (512, 25, 256), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    basis = jax.random.normal(jax.random.key(4), (258, 256), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    spec = jnp.einsum(
+        "bfn,cn->bfc", frames, basis, preferred_element_type=jnp.float32
+    )
+    ref = jnp.sqrt(spec[:, :, :129] ** 2 + spec[:, :, 129:] ** 2)
+    wr, wi = stft_dotmag.split_basis(basis)
+    try:
+        out = stft_dotmag.dot_magnitude(frames, wr, wi)
+        err = float(jnp.abs(out - ref).max())
+        _record({"angle": "dotmag", "check": "parity_onchip", "max_abs_err": err})
+    except Exception as e:
+        _record({
+            "angle": "dotmag",
+            "check": "parity_onchip",
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        })
+        return
+
+    cmd_baseline("dotmag:baseline_einsum")
+    # rows = 2048*25 = 51200 = 2^11 * 25: 4096 does not divide it (the
+    # kernel's clamp would silently fall back to 2048)
+    for bm in (256, 512, 1024, 2048):
+        F.STFT_DOTMAG_PALLAS = True
+        import vadc_tpu.kernels.stft_dotmag as sd
+
+        orig = sd.dot_magnitude
+
+        def patched(fr, wr_, wi_, *, block_rows=1024, **kw):
+            return orig(fr, wr_, wi_, block_rows=bm, **kw)
+
+        sd.dot_magnitude = patched
+        try:
+            runner = _runner()
+            stats = measure(runner)
+            _record({
+                "angle": "dotmag",
+                "variant": f"kernel_bm{bm}",
+                "ms_median": round(stats["median"] * 1e3, 4),
+                "ms_iqr": round(stats["iqr"] * 1e3, 4),
+                "ms_best": round(stats["best"] * 1e3, 4),
+            })
+        except Exception as e:
+            _record({
+                "angle": "dotmag",
+                "variant": f"kernel_bm{bm}",
+                "error": f"{type(e).__name__}: {str(e)[:300]}",
+            })
+        finally:
+            sd.dot_magnitude = orig
+            F.STFT_DOTMAG_PALLAS = False
+
+
 # ---- angle c: pipelined half-batches --------------------------------------
 
 
@@ -376,6 +448,8 @@ def main():
         cmd_halves()
     elif cmd == "coptions":
         cmd_coptions()
+    elif cmd == "dotmag":
+        cmd_dotmag()
     elif cmd == "all":
         cmd_hlo()
         cmd_variants()

@@ -19,6 +19,7 @@ Conventions:
 from __future__ import annotations
 
 import contextlib
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +177,27 @@ def _stft_precision(log_sensitive: bool):
     if not log_sensitive or _COMPUTE_DTYPE == jnp.bfloat16:
         return _PRECISION, True
     return lax.Precision.HIGH, False
+
+
+# Fused spectrum-dot+magnitude Pallas kernel on the bf16 STFT paths:
+# None = auto (on when the runtime backend is a TPU, off on CPU where
+# Mosaic kernels cannot compile), True/False = forced. Measured on-chip in
+# round 4 (docs/PERFORMANCE.md); tools/tpu_check.py asserts its parity.
+STFT_DOTMAG_PALLAS: bool | None = False
+
+
+@functools.lru_cache(maxsize=1)
+def _backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _stft_dotmag_enabled() -> bool:
+    if STFT_DOTMAG_PALLAS is None:
+        return _backend_is_tpu()
+    return STFT_DOTMAG_PALLAS
 
 
 def stft_magnitude(
@@ -676,6 +698,18 @@ def stft_magnitude_nlc(
         )  # [B, F, n_fft]
     else:
         frames = _frame(padded, n_fft, hop)  # [B, F, n_fft]
+    if _stft_dotmag_enabled() and cast_bf16 and n_fft % 128 == 0:
+        # Fused dot+magnitude Pallas kernel: the spectrum never reaches HBM
+        # (removes the step's #1 intermediate, the fp32 [B, F, 2*cutoff]
+        # dot output — 50 MB written + re-read at batch 2048; r4 HLO
+        # accounting in docs/PERFORMANCE.md). Same math as the einsum path:
+        # bf16 operands, fp32 accumulation, magnitude in fp32. Gated to the
+        # single-pass-bf16 tiers (DEFAULT precision) and TPU backends;
+        # STFT_DOTMAG_PALLAS=True/False forces it either way.
+        from vadc_tpu.kernels.stft_dotmag import dot_magnitude, split_basis
+
+        wr, wi = split_basis(basis)
+        return dot_magnitude(frames, wr, wi)
     spec = jnp.einsum(
         "bfn,cn->bfc",
         frames,
