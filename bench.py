@@ -148,10 +148,26 @@ def _load_previous_bench():
     return best[0], data
 
 
+# Keys whose round-over-round movement is expected noise, not a perf
+# signal: jitter statistics (iqr/best), fault-injection and churn counters
+# (run-length-dependent), memory-growth readings. Flagging these >10%
+# would permanently pollute the moved list and bury real regressions.
+_DIFF_NOISE_MARKERS = (
+    "_iqr",
+    "_best",
+    "fault",
+    "rss",
+    "_clients",
+    "_errors",
+    "_aborts",
+    "delivery",
+)
+
+
 def diff_against_previous(configs, log):
-    """Flag any shared numeric config that moved >10% vs the last round's
-    BENCH_r*.json. The flags ride in the output JSON so a regression is
-    visible in the artifact itself, not just the stderr log."""
+    """Flag any shared signal-valued numeric config that moved >10% vs the
+    last round's BENCH_r*.json. The flags ride in the output JSON so a
+    regression is visible in the artifact itself, not just the stderr log."""
     prev_round, prev = _load_previous_bench()
     if prev is None:
         return {}
@@ -159,6 +175,8 @@ def diff_against_previous(configs, log):
     moved = {}
     for k, v in configs.items():
         pv = prev_configs.get(k)
+        if any(m in k for m in _DIFF_NOISE_MARKERS):
+            continue
         if (
             isinstance(v, (int, float))
             and isinstance(pv, (int, float))

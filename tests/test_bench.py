@@ -104,6 +104,32 @@ class TestDiffAgainstPrevious:
         assert out["baseline_round"] == 3
         assert out["moved"] == {}
 
+    def test_noise_valued_keys_are_never_flagged(self, bench, tmp_path, monkeypatch):
+        # jitter statistics and run-length-dependent counters move >10%
+        # between healthy rounds; flagging them would bury real regressions
+        noisy = {
+            "v3_turbo_ms_iqr": 1.0,
+            "v3_turbo_ms_best": 1.0,
+            "serving_fault_midwav_aborts": 50.0,
+            "serving_rss_growth_mb": 3.0,
+            "serving_clients": 64.0,
+            "serving_churn_errors": 1.0,
+            "serving_fault_malformed_diagnosed": 54.0,
+            "serving_delivery_exact": 1.0,
+        }
+        self._write_prev(
+            tmp_path,
+            bench,
+            monkeypatch,
+            {"configs": dict(noisy, v3_turbo_ms_per_chunk_step=0.5)},
+        )
+        out = bench.diff_against_previous(
+            dict({k: v * 2 for k, v in noisy.items()},
+                 v3_turbo_ms_per_chunk_step=0.7),
+            lambda s: None,
+        )
+        assert set(out["moved"]) == {"v3_turbo_ms_per_chunk_step"}
+
     def test_malformed_previous_is_skipped(self, bench, tmp_path, monkeypatch):
         (tmp_path / "BENCH_r03.json").write_text("{not json")
         monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))

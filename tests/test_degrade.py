@@ -122,6 +122,19 @@ def test_mix_background_snr_calibration():
     assert abs(10 * np.log10(p_sig / p_bg) - 10.0) < 0.2
 
 
+def test_mix_background_empty_truth_is_finite():
+    # no labeled speech -> calibrate against whole-track power instead of
+    # NaN-poisoning the mix (np.mean of an empty slice is NaN)
+    rng = np.random.default_rng(11)
+    audio = (rng.standard_normal(16000) * 0.05).astype(np.float32)
+    bg = degrade.babble(1.0, seed=2)
+    mixed = degrade.mix_background(audio, [], bg, 10.0, 16000)
+    assert np.isfinite(mixed).all()
+    p_sig = np.mean(audio**2)
+    p_bg = np.mean((mixed - audio) ** 2)
+    assert abs(10 * np.log10(p_sig / p_bg) - 10.0) < 0.2
+
+
 def test_confusers_are_normalized_and_sized():
     for gen in (degrade.babble, degrade.music):
         x = gen(2.0, 16000, seed=5)

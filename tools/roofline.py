@@ -228,7 +228,9 @@ def main(argv=None):
         for tier in fam_tiers:
             runner = StreamRunner(family, params, precision=tier)
             flops, min_bytes = step_cost(runner, batch, chunk)
-            per = bench.steady_state_per_chunk(runner, batch, chunk, next(keys))
+            per = bench.steady_state_per_chunk(runner, batch, chunk, next(keys))[
+                "median"
+            ]
             sol_c = flops / (mxu[tier] * 1e12)
             sol_m = min_bytes / (hbm * 1e9)
             sol = max(sol_c, sol_m)

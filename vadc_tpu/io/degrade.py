@@ -259,6 +259,12 @@ def mix_background(
     mask = np.zeros(len(audio), bool)
     for s, e in truth:
         mask[int(s * sr) : int(e * sr)] = True
+    if not mask.any():
+        # No labeled speech to calibrate against (np.mean of the empty
+        # slice would be NaN and poison the whole mix); fall back to
+        # whole-track power so silence-only material still gets a
+        # sensibly-scaled background.
+        mask[:] = True
     p_sig = float(np.mean(audio[mask] ** 2))
     p_bg = p_sig / (10.0 ** (snr_db / 10.0))
     bg = bg * np.sqrt(p_bg / max(float(np.mean(bg**2)), 1e-20))

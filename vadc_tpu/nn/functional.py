@@ -19,7 +19,6 @@ Conventions:
 from __future__ import annotations
 
 import contextlib
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -186,10 +185,13 @@ def _stft_precision(log_sensitive: bool):
 STFT_DOTMAG_PALLAS: bool | None = False
 
 
-@functools.lru_cache(maxsize=1)
 def _backend_is_tpu() -> bool:
+    # Deliberately "== tpu", not "!= cpu": the Mosaic kernel is only
+    # validated on the TPU toolchain, so gpu/rocm/metal backends must take
+    # the einsum fallback. Not cached — backends can initialize after an
+    # early CPU-context call, and the check is two attribute reads.
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -352,22 +352,28 @@ class VadServer:
                 break
 
     def _finish_slot(self, slot: int) -> None:
-        """EOF snap (vadc.c:1005-1027), flush, close, recycle."""
+        """EOF snap (vadc.c:1005-1027), flush, close, recycle.
+
+        The emit/flush and the four FSM-array resets happen under
+        _state_lock so a concurrent save_checkpoint can never capture a
+        half-reset slot (e.g. triggered already 0 but chunk_index still
+        old, which restore would misread as a live stream to resume)."""
         fsm = self.fsm
-        last_chunk = int(fsm.chunk_index[slot]) - 1
-        if fsm.triggered[slot]:
-            start = int(fsm.speech_start[slot])
-            if last_chunk - start > self.cfg.min_speech_chunks:
-                self._emit(slot, start, last_chunk)
-        s = self.slots[slot]
-        if s is not None and s.pending is not None:
-            self._send_segment(slot, *s.pending)
-            s.pending = None
-        # reset FSM state for reuse
-        fsm.triggered[slot] = 0
-        fsm.speech_start[slot] = 0
-        fsm.temp_end[slot] = 0
-        fsm.chunk_index[slot] = 0
+        with self._state_lock:
+            last_chunk = int(fsm.chunk_index[slot]) - 1
+            if fsm.triggered[slot]:
+                start = int(fsm.speech_start[slot])
+                if last_chunk - start > self.cfg.min_speech_chunks:
+                    self._emit(slot, start, last_chunk)
+            s = self.slots[slot]
+            if s is not None and s.pending is not None:
+                self._send_segment(slot, *s.pending)
+                s.pending = None
+            # reset FSM state for reuse
+            fsm.triggered[slot] = 0
+            fsm.speech_start[slot] = 0
+            fsm.temp_end[slot] = 0
+            fsm.chunk_index[slot] = 0
         if s is not None:
             try:
                 s.conn.shutdown(socket.SHUT_RDWR)
@@ -400,15 +406,25 @@ class VadServer:
         from vadc_tpu.engine.runner import StreamState
 
         fsm = self.fsm
-        with self._lock:
-            pending = [
-                None if s is None else s.pending for s in self.slots
-            ]
         # snapshot under the state lock: the engine tick donates
         # self.state's buffers, so an unsynchronized read under load can
-        # materialize an already-deleted array; fsm arrays are copied in
-        # the same critical section so the snapshot is one tick's view
+        # materialize an already-deleted array; fsm arrays, each slot's
+        # pending segment, AND the resume-held pendings are captured in the
+        # same critical section (emits and slot finishing also run under
+        # _state_lock) so the snapshot is exactly one tick's view — pending
+        # taken outside it could be a tick newer than the FSM arrays, and a
+        # checkpoint taken before a restored client reconnects must not
+        # drop the pending still held in _resume_slots. Lock order when
+        # nested: _state_lock, then _lock.
         with self._state_lock:
+            with self._lock:
+                pending = []
+                for slot in range(self.n):
+                    s = self.slots[slot]
+                    p = s.pending if s is not None else None
+                    if p is None:
+                        p = self._resume_slots.get(slot)
+                    pending.append(p)
             state = StreamState(
                 np.asarray(self.state.h),
                 np.asarray(self.state.c),
@@ -489,25 +505,32 @@ class VadServer:
                         jnp.asarray(active),
                         jnp.asarray(reset),
                     )
-                    # FSM feed stays inside the lock so a checkpoint always
-                    # sees model state and FSM arrays from the same tick
+                    # FSM feed AND the emits that consume its events stay
+                    # inside the lock so a checkpoint always sees model
+                    # state, FSM arrays, and per-slot pending segments from
+                    # the same tick (an emit outside the lock could apply
+                    # some of a tick's events to `pending` and not others
+                    # at snapshot time — those events are already consumed
+                    # from the FSM arrays, so a restore would lose them)
                     events = (
                         self.fsm.feed(np.asarray(probs)[:, None], active=active)
                         if count
                         else []
                     )
-                if count:
-                    # latency is measured from the feed() that produced the
-                    # events, NOT reset per emit: all of a tick's events
-                    # become visible at t_ev, so the k-th event's recorded
-                    # latency deliberately includes head-of-line blocking
-                    # behind slower emits in the same tick — that is what a
-                    # client actually observes
-                    t_ev = time.perf_counter()
-                    for slot, start_c, end_c in events:
-                        self._emit(slot, start_c, end_c)
-                        self.emit_latencies.append(time.perf_counter() - t_ev)
-                    self.tick_times.append(time.perf_counter() - t0)
+                    if count:
+                        # latency is measured from the feed() that produced
+                        # the events, NOT reset per emit: all of a tick's
+                        # events become visible at t_ev, so the k-th event's
+                        # recorded latency deliberately includes head-of-line
+                        # blocking behind slower emits in the same tick —
+                        # that is what a client actually observes
+                        t_ev = time.perf_counter()
+                        for slot, start_c, end_c in events:
+                            self._emit(slot, start_c, end_c)
+                            self.emit_latencies.append(
+                                time.perf_counter() - t_ev
+                            )
+                        self.tick_times.append(time.perf_counter() - t0)
             # finish streams whose sockets have drained (attached gate:
             # an un-attached slot's pool state is the previous client's)
             for slot in range(self.n):
