@@ -161,6 +161,10 @@ _DIFF_NOISE_MARKERS = (
     "_errors",
     "_aborts",
     "delivery",
+    # real perf signal, but measured on a contended single-core host where
+    # writers/reader/engine timeshare — run-to-run spread far exceeds 10%;
+    # tools/ingest_bench.py is the deliberate-measurement tool
+    "host_ingest",
 )
 
 
@@ -484,6 +488,24 @@ def main():
         )
     except Exception as e:
         log(f"serving bench skipped ({type(e).__name__}: {e})")
+
+    # ---- host-ingest ceiling (no device; the serving path's OTHER half) ----
+    # max-pace pipes through the native StreamPool + batched FSM; the
+    # device headline assumes audio arrives — this measures how many
+    # realtime streams THIS host can actually deliver (tools/ingest_bench.py)
+    try:
+        from ingest_bench import run_ingest
+
+        ing = run_ingest(256, 3.0, with_fsm=True)
+        configs["host_ingest_realtime_streams"] = ing["realtime_streams_equiv"]
+        configs["host_ingest_mb_per_s"] = ing["mb_per_s_s16"]
+        log(
+            f"host ingest (256 max-pace pipes, pool+FSM, no device): "
+            f"{ing['mb_per_s_s16']} MB/s = {ing['realtime_streams_equiv']:,} "
+            f"realtime streams equivalent"
+        )
+    except Exception as e:
+        log(f"host ingest bench skipped ({type(e).__name__}: {e})")
 
     best_mode, best = max(results.items(), key=lambda kv: kv[1])
     log(f"best: {best_mode} -> {best:.0f} streams/chip")

@@ -1,14 +1,22 @@
 // Multi-stream PCM ingest pool.
 //
 // The serving runtime's data loader: N live PCM sources (pipes, sockets,
-// files) are drained by one background thread (poll + non-blocking reads),
-// converted s16le -> f32 and framed into per-stream chunk ring buffers,
-// GIL-free. The engine thread calls vadc_pool_gather() to collect one chunk
-// per ready stream into a batch matrix for the next device step.
+// files) are drained by a small pool of background reader threads (poll +
+// non-blocking reads; streams sharded by index), converted s16le -> f32 and
+// framed DIRECTLY into per-stream chunk ring buffers, GIL-free. The engine
+// thread calls vadc_pool_gather() to collect one chunk per ready stream into
+// a batch matrix for the next device step.
 //
 // This is the TPU-serving generalization of the reference's single
 // Buffered_Stream (vadc.c:401-667): same full-chunk framing and EOF
-// zero-drain discipline, but for hundreds of concurrent streams.
+// zero-drain discipline, but for thousands of concurrent streams.
+//
+// Throughput notes (tools/ingest_bench.py): the first version staged samples
+// in a std::vector with push_back + front-erase (an O(chunk) shift per chunk)
+// and one reader thread — ~270 MB/s. This version converts straight into the
+// ring slot under construction (no staging copy, no shift) and shards streams
+// over `reader_threads` pollers, so aggregate ingest scales with cores until
+// memory bandwidth.
 //
 // Plain C ABI for ctypes. Build: `make -C native`.
 
@@ -31,15 +39,13 @@ struct Stream {
     int fd = -1;
     std::atomic<bool> eof{false};
     bool drained = false;  // eof observed AND partial tail flushed (engine thread only)
-    // staging: raw bytes of an incomplete sample pair + incomplete chunk
-    int16_t sample_stage[1];
-    // incomplete chunk under construction (f32)
-    std::vector<float> partial;
-    uint8_t byte_stage = 0;
+    uint8_t byte_stage = 0;  // low byte of a sample split across read()s
     bool has_byte = false;
-    // ring of completed chunks
+    // ring of chunks; the slot at head%ring_chunks is under construction
+    // with `fill` samples already written (fill < chunk_samples)
     std::vector<float> ring;  // ring_chunks * chunk_samples
-    std::atomic<int64_t> head{0};  // written chunks
+    int fill = 0;             // reader thread only; engine reads it after eof
+    std::atomic<int64_t> head{0};  // completed chunks
     std::atomic<int64_t> tail{0};  // consumed chunks
 };
 
@@ -49,23 +55,34 @@ struct VadcPool {
     int n_streams;
     int chunk_samples;
     int ring_chunks;
+    int n_threads;
     std::vector<Stream> streams;
-    std::thread reader;
+    std::vector<std::thread> readers;
     std::atomic<bool> running{false};
     std::mutex fd_mutex;
 };
 
 extern "C" {
 
-VadcPool* vadc_pool_create(int n_streams, int chunk_samples, int ring_chunks) {
+VadcPool* vadc_pool_create(int n_streams, int chunk_samples, int ring_chunks,
+                           int reader_threads) {
     auto* pool = new VadcPool();
     pool->n_streams = n_streams;
     pool->chunk_samples = chunk_samples;
     pool->ring_chunks = ring_chunks;
+    if (reader_threads <= 0) {
+        // default: enough pollers to matter, bounded so a small server
+        // doesn't spawn idle threads
+        unsigned hw = std::thread::hardware_concurrency();
+        reader_threads = hw ? static_cast<int>(hw / 2) : 2;
+        if (reader_threads < 1) reader_threads = 1;
+        if (reader_threads > 8) reader_threads = 8;
+    }
+    if (reader_threads > n_streams) reader_threads = n_streams > 0 ? n_streams : 1;
+    pool->n_threads = reader_threads;
     pool->streams = std::vector<Stream>(n_streams);
     for (auto& s : pool->streams) {
         s.ring.resize(static_cast<size_t>(ring_chunks) * chunk_samples);
-        s.partial.reserve(chunk_samples);
     }
     return pool;
 }
@@ -79,7 +96,7 @@ int vadc_pool_add_fd(VadcPool* pool, int stream_idx, int fd) {
     fcntl(fd, F_SETFL, flags | O_NONBLOCK);
     std::lock_guard<std::mutex> lock(pool->fd_mutex);
     Stream& s = pool->streams[stream_idx];
-    s.partial.clear();
+    s.fill = 0;
     s.has_byte = false;
     s.drained = false;
     s.head.store(0, std::memory_order_relaxed);
@@ -90,15 +107,24 @@ int vadc_pool_add_fd(VadcPool* pool, int stream_idx, int fd) {
 }
 
 static void pool_drain_fd(VadcPool* pool, Stream& s) {
-    uint8_t buf[16384];
+    // bytes -> f32 straight into the ring slot under construction. Each
+    // read() is capped to the free ring space, so the conversion loop can
+    // never overrun an unconsumed slot and never needs to block or stage:
+    // backpressure is exactly "leave the bytes in the kernel buffer".
+    const int chunk = pool->chunk_samples;
+    uint8_t buf[65536];
     for (;;) {
-        // backpressure: when the ring is full, leave bytes in the kernel
-        // pipe buffer instead of growing `partial` unboundedly
-        if (s.head.load(std::memory_order_relaxed) -
-                s.tail.load(std::memory_order_acquire) >= pool->ring_chunks) {
-            return;
-        }
-        ssize_t n = read(s.fd, buf, sizeof(buf));
+        int64_t head = s.head.load(std::memory_order_relaxed);
+        int64_t free_chunks =
+            pool->ring_chunks - (head - s.tail.load(std::memory_order_acquire));
+        int64_t free_samples = free_chunks * chunk - s.fill;
+        if (free_samples <= 0) return;  // ring full: backpressure
+        // n bytes yield at most (n + has_byte)/2 samples; cap n so that
+        // stays <= free_samples
+        size_t cap =
+            static_cast<size_t>(free_samples) * 2 - (s.has_byte ? 1 : 0);
+        if (cap > sizeof(buf)) cap = sizeof(buf);
+        ssize_t n = read(s.fd, buf, cap);
         if (n < 0) {
             if (errno == EAGAIN || errno == EWOULDBLOCK) return;
             s.eof.store(true, std::memory_order_release);
@@ -109,38 +135,51 @@ static void pool_drain_fd(VadcPool* pool, Stream& s) {
             return;
         }
         ssize_t i = 0;
-        if (s.has_byte) {  // complete the split sample
-            int16_t sample =
-                static_cast<int16_t>(s.byte_stage | (static_cast<uint16_t>(buf[0]) << 8));
-            s.partial.push_back(sample * kScale);
+        float* slot = s.ring.data() +
+                      (head % pool->ring_chunks) * static_cast<size_t>(chunk);
+        if (s.has_byte) {  // complete the sample split across read()s
+            int16_t sample = static_cast<int16_t>(
+                s.byte_stage | (static_cast<uint16_t>(buf[0]) << 8));
+            slot[s.fill++] = sample * kScale;
             s.has_byte = false;
             i = 1;
+            if (s.fill == chunk) {
+                s.fill = 0;
+                s.head.store(++head, std::memory_order_release);
+                slot = s.ring.data() +
+                       (head % pool->ring_chunks) * static_cast<size_t>(chunk);
+            }
         }
-        for (; i + 1 < n; i += 2) {
-            int16_t sample;
-            std::memcpy(&sample, buf + i, 2);
-            s.partial.push_back(sample * kScale);
+        // bulk convert: fill the current slot, publish, move to the next
+        while (i + 1 < n) {
+            int room = chunk - s.fill;
+            ssize_t avail_samples = (n - i) / 2;
+            int todo =
+                static_cast<int>(avail_samples < room ? avail_samples : room);
+            const uint8_t* src = buf + i;
+            float* dst = slot + s.fill;
+            for (int k = 0; k < todo; ++k) {
+                int16_t sample;
+                std::memcpy(&sample, src + 2 * k, 2);
+                dst[k] = sample * kScale;
+            }
+            s.fill += todo;
+            i += static_cast<ssize_t>(todo) * 2;
+            if (s.fill == chunk) {
+                s.fill = 0;
+                s.head.store(++head, std::memory_order_release);
+                slot = s.ring.data() +
+                       (head % pool->ring_chunks) * static_cast<size_t>(chunk);
+            }
         }
-        if (i < n) {
+        if (i < n) {  // odd trailing byte
             s.byte_stage = buf[n - 1];
             s.has_byte = true;
-        }
-        // flush completed chunks into the ring (drop oldest on overflow)
-        while (static_cast<int>(s.partial.size()) >= pool->chunk_samples) {
-            int64_t head = s.head.load(std::memory_order_relaxed);
-            if (head - s.tail.load(std::memory_order_acquire) >= pool->ring_chunks) {
-                break;  // ring full: stop reading this stream for now
-            }
-            float* slot =
-                s.ring.data() + (head % pool->ring_chunks) * pool->chunk_samples;
-            std::memcpy(slot, s.partial.data(), pool->chunk_samples * sizeof(float));
-            s.partial.erase(s.partial.begin(), s.partial.begin() + pool->chunk_samples);
-            s.head.store(head + 1, std::memory_order_release);
         }
     }
 }
 
-static void pool_reader_loop(VadcPool* pool) {
+static void pool_reader_loop(VadcPool* pool, int shard) {
     std::vector<pollfd> fds;
     std::vector<int> idx;
     while (pool->running.load(std::memory_order_relaxed)) {
@@ -148,7 +187,7 @@ static void pool_reader_loop(VadcPool* pool) {
         idx.clear();
         {
             std::lock_guard<std::mutex> lock(pool->fd_mutex);
-            for (int i = 0; i < pool->n_streams; ++i) {
+            for (int i = shard; i < pool->n_streams; i += pool->n_threads) {
                 Stream& s = pool->streams[i];
                 if (s.fd >= 0 && !s.eof.load(std::memory_order_acquire)) {
                     fds.push_back({s.fd, POLLIN, 0});
@@ -172,7 +211,9 @@ static void pool_reader_loop(VadcPool* pool) {
 
 int vadc_pool_start(VadcPool* pool) {
     if (pool->running.exchange(true)) return -1;
-    pool->reader = std::thread(pool_reader_loop, pool);
+    for (int t = 0; t < pool->n_threads; ++t) {
+        pool->readers.emplace_back(pool_reader_loop, pool, t);
+    }
     return 0;
 }
 
@@ -181,6 +222,7 @@ int vadc_pool_start(VadcPool* pool) {
 // A stream at EOF with a partial chunk yields it zero-padded exactly once.
 // Returns the number of ready streams.
 int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
+    const size_t chunk = static_cast<size_t>(pool->chunk_samples);
     int64_t count = 0;
     for (int i = 0; i < pool->n_streams; ++i) {
         Stream& s = pool->streams[i];
@@ -188,30 +230,25 @@ int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
         int64_t tail = s.tail.load(std::memory_order_relaxed);
         if (s.head.load(std::memory_order_acquire) > tail) {
             const float* slot =
-                s.ring.data() + (tail % pool->ring_chunks) * pool->chunk_samples;
-            std::memcpy(row, slot, pool->chunk_samples * sizeof(float));
+                s.ring.data() + (tail % pool->ring_chunks) * chunk;
+            std::memcpy(row, slot, chunk * sizeof(float));
             s.tail.store(tail + 1, std::memory_order_release);
             ready[i] = 1;
             ++count;
         } else if (s.eof.load(std::memory_order_acquire) && !s.drained &&
-                   !s.partial.empty()) {
-            // After EOF the reader thread never touches this stream again,
-            // so the engine thread may consume `partial` directly. It can
-            // hold MORE than one chunk when EOF arrived while the ring was
-            // full — flush whole chunks first, zero-pad only the final tail.
-            const size_t chunk = static_cast<size_t>(pool->chunk_samples);
-            if (s.partial.size() >= chunk) {
-                std::memcpy(row, s.partial.data(), chunk * sizeof(float));
-                s.partial.erase(s.partial.begin(), s.partial.begin() + chunk);
-                ready[i] = 1;
-            } else {
-                std::memcpy(row, s.partial.data(), s.partial.size() * sizeof(float));
-                std::memset(row + s.partial.size(), 0,
-                            (chunk - s.partial.size()) * sizeof(float));
-                s.partial.clear();
-                s.drained = true;
-                ready[i] = 2;
-            }
+                   s.fill > 0) {
+            // After EOF the reader threads never touch this stream again
+            // (their poll sets exclude eof streams), so the engine thread
+            // may consume the in-progress slot directly: zero-pad the tail.
+            const float* slot =
+                s.ring.data() +
+                (s.head.load(std::memory_order_relaxed) % pool->ring_chunks) *
+                    chunk;
+            std::memcpy(row, slot, s.fill * sizeof(float));
+            std::memset(row + s.fill, 0, (chunk - s.fill) * sizeof(float));
+            s.fill = 0;
+            s.drained = true;
+            ready[i] = 2;
             ++count;
         } else {
             ready[i] = 0;
@@ -223,14 +260,16 @@ int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
 // 1 when the stream has delivered everything it ever will.
 int vadc_pool_stream_done(VadcPool* pool, int idx) {
     Stream& s = pool->streams[idx];
-    return s.eof.load(std::memory_order_acquire) && s.partial.empty() &&
+    return s.eof.load(std::memory_order_acquire) && s.fill == 0 &&
            s.head.load(std::memory_order_acquire) ==
                s.tail.load(std::memory_order_acquire);
 }
 
 void vadc_pool_destroy(VadcPool* pool) {
     pool->running.store(false);
-    if (pool->reader.joinable()) pool->reader.join();
+    for (auto& th : pool->readers) {
+        if (th.joinable()) th.join();
+    }
     delete pool;
 }
 

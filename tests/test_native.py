@@ -124,6 +124,53 @@ def test_stream_pool_pipes():
             os.close(r)
 
 
+def test_stream_pool_multiple_reader_threads():
+    """Streams sharded over several reader threads deliver every stream's
+    bytes intact and in order (index-sharded pollers must not cross wires)."""
+    import os
+    import time
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    chunk = 128
+    n = 5
+    rng = np.random.default_rng(3)
+    audio = [
+        rng.integers(-30000, 30000, size=(7 + i) * chunk + 13 * i).astype(np.int16)
+        for i in range(n)
+    ]
+    pool = native.StreamPool(n, chunk, ring_chunks=4, reader_threads=3)
+    pipes = [os.pipe() for _ in range(n)]
+    for i, (r, _w) in enumerate(pipes):
+        pool.add_fd(i, r)
+    pool.start()
+    try:
+        for i, data in enumerate(audio):
+            os.write(pipes[i][1], data.tobytes())
+            os.close(pipes[i][1])
+        got = {i: [] for i in range(n)}
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            out, ready, _ = pool.gather()
+            for i in range(n):
+                if ready[i]:
+                    got[i].append(out[i].copy())
+            if all(pool.stream_done(i) for i in range(n)):
+                break
+            time.sleep(0.002)
+        for i, data in enumerate(audio):
+            expect = np.zeros(-(-len(data) // chunk) * chunk, np.float32)
+            expect[: len(data)] = data.astype(np.float32) / 32768.0
+            np.testing.assert_array_equal(
+                np.concatenate(got[i]), expect, err_msg=f"stream {i}"
+            )
+    finally:
+        pool.close()
+        for r, _ in pipes:
+            os.close(r)
+
+
 def test_stream_pool_ring_overflow_eof():
     """EOF arriving while the ring is full leaves >1 chunk in the staging
     buffer; the drain must flush whole chunks before the zero-padded tail

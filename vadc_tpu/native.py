@@ -61,7 +61,7 @@ def _try_load() -> ctypes.CDLL | None:
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     c_int = ctypes.c_int
     lib.vadc_pool_create.restype = ctypes.c_void_p
-    lib.vadc_pool_create.argtypes = [c_int, c_int, c_int]
+    lib.vadc_pool_create.argtypes = [c_int, c_int, c_int, c_int]
     lib.vadc_pool_add_fd.restype = c_int
     lib.vadc_pool_add_fd.argtypes = [ctypes.c_void_p, c_int, c_int]
     lib.vadc_pool_start.restype = c_int
@@ -109,19 +109,30 @@ def frame_s16le(samples: np.ndarray, chunk_samples: int) -> np.ndarray:
 class StreamPool:
     """GIL-free multi-stream PCM ingest (native/stream_pool.cpp).
 
-    A background C++ thread drains N non-blocking fds (pipes/sockets/files)
-    into per-stream chunk rings; `gather()` pops one chunk per ready stream
-    into a [N, chunk] batch for the next device step. Requires the native
-    library (no Python fallback — it exists to take ingest off the GIL)."""
+    Background C++ reader threads (streams sharded by index over
+    `reader_threads` pollers; 0 = auto from core count) drain N non-blocking
+    fds (pipes/sockets/files) into per-stream chunk rings; `gather()` pops
+    one chunk per ready stream into a [N, chunk] batch for the next device
+    step. Requires the native library (no Python fallback — it exists to
+    take ingest off the GIL)."""
 
-    def __init__(self, n_streams: int, chunk_samples: int, *, ring_chunks: int = 64):
+    def __init__(
+        self,
+        n_streams: int,
+        chunk_samples: int,
+        *,
+        ring_chunks: int = 64,
+        reader_threads: int = 0,
+    ):
         lib = _try_load()
         if lib is None:
             raise RuntimeError("native library unavailable; build with make -C native")
         self._lib = lib
         self.n_streams = n_streams
         self.chunk_samples = chunk_samples
-        self._pool = lib.vadc_pool_create(n_streams, chunk_samples, ring_chunks)
+        self._pool = lib.vadc_pool_create(
+            n_streams, chunk_samples, ring_chunks, reader_threads
+        )
         self._started = False
 
     def add_fd(self, stream_idx: int, fd: int) -> None:
