@@ -169,3 +169,25 @@ def test_soak_constant_memory():
 
     m = re.search(r"(\d+) segments", out)
     assert m and int(m.group(1)) >= 50, out
+
+
+def test_ingest_bench_run():
+    """The host-ingest capacity harness drains real pipes and reports sane
+    rates (bench.py's host_ingest_* configs ride on this)."""
+    from vadc_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from ingest_bench import run_ingest
+    finally:
+        sys.path.pop(0)
+    r = run_ingest(8, 0.5, chunk_samples=256, writer_threads=2)
+    assert r["streams"] == 8
+    assert r["chunks_drained"] > 0
+    assert r["samples_per_s"] > 0
+    assert r["realtime_streams_equiv"] >= 1
+    # fsm variant also executes the event path
+    r2 = run_ingest(4, 0.3, chunk_samples=256, writer_threads=1, with_fsm=True)
+    assert r2["fsm"] and r2["chunks_drained"] > 0
