@@ -416,6 +416,14 @@ class VadServer:
         # checkpoint taken before a restored client reconnects must not
         # drop the pending still held in _resume_slots. Lock order when
         # nested: _state_lock, then _lock.
+        #
+        # Only CHEAP work happens under the lock: the device state is
+        # snapshotted by dispatching async on-device copies (the runtime
+        # orders them before the next tick's donation), and the slow host
+        # materialization — ~30-40 ms per array through the remote-device
+        # tunnel — runs after release. Materializing under the lock stalled
+        # the engine tick ~100 ms per checkpoint (serving tick p99 spike,
+        # caught by bench.py's round-over-round diff).
         with self._state_lock:
             with self._lock:
                 pending = []
@@ -425,12 +433,12 @@ class VadServer:
                     if p is None:
                         p = self._resume_slots.get(slot)
                     pending.append(p)
-            state = StreamState(
-                np.asarray(self.state.h),
-                np.asarray(self.state.c),
+            h_dev = jnp.array(self.state.h, copy=True)
+            c_dev = jnp.array(self.state.c, copy=True)
+            ctx_dev = (
                 None
                 if self.state.context is None
-                else np.asarray(self.state.context),
+                else jnp.array(self.state.context, copy=True)
             )
             fsm_state = FsmState(
                 triggered=jnp.asarray(fsm.triggered.astype(bool)),
@@ -439,6 +447,11 @@ class VadServer:
                 chunk_index=jnp.int32(int(fsm.chunk_index.max(initial=0))),
             )
             chunk_indices = fsm.chunk_index.astype(np.int32).copy()
+        state = StreamState(
+            np.asarray(h_dev),
+            np.asarray(c_dev),
+            None if ctx_dev is None else np.asarray(ctx_dev),
+        )
         EngineCheckpoint(
             family=self.family,
             model_state=state,
