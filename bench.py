@@ -161,6 +161,8 @@ _DIFF_NOISE_MARKERS = (
     "_errors",
     "_aborts",
     "delivery",
+    "_saves",  # checkpoint-wave count: run-length-dependent
+    "_max_ms",  # single-worst-sample statistic, jitters across rounds
     # real perf signal, but measured on a contended single-core host where
     # writers/reader/engine timeshare — run-to-run spread far exceeds 10%;
     # tools/ingest_bench.py is the deliberate-measurement tool
@@ -464,6 +466,9 @@ def main():
             "fault_malformed_diagnosed",
             "post_fault_delivery_exact",
             "rss_growth_mb",
+            "ckpt_saves",
+            "ckpt_save_p50_ms",
+            "ckpt_save_max_ms",
         ):
             # tick latency includes the device step, which through the
             # remote-device tunnel is RTT-dominated (~30 ms); label it so
@@ -484,7 +489,9 @@ def main():
             f"{serving.get('fault_malformed_diagnosed', 0)}/"
             f"{serving.get('fault_malformed', 0)} malformed diagnosed, "
             f"post-fault exact={serving.get('post_fault_delivery_exact')}, "
-            f"rss +{serving.get('rss_growth_mb')} MB"
+            f"rss +{serving.get('rss_growth_mb')} MB, "
+            f"ckpts {serving.get('ckpt_saves', 0)} @ p50 "
+            f"{serving.get('ckpt_save_p50_ms')} ms"
         )
     except Exception as e:
         log(f"serving bench skipped ({type(e).__name__}: {e})")

@@ -116,6 +116,8 @@ class TestDiffAgainstPrevious:
             "serving_churn_errors": 1.0,
             "serving_fault_malformed_diagnosed": 54.0,
             "serving_delivery_exact": 1.0,
+            "serving_ckpt_saves": 8.0,
+            "serving_ckpt_save_max_ms": 120.0,
         }
         self._write_prev(
             tmp_path,

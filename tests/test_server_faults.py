@@ -47,5 +47,9 @@ def test_fault_wave_end_to_end(testdata):
     # the server still serves exactly after all fault classes
     assert r["post_fault_delivery_exact"] is True, r
     assert r["checkpoint_under_load"] == "ok", r
+    # the checkpoint wave fired and each save's wall time was measured
+    assert r["ckpt_saves"] >= 1, r
+    assert r["ckpt_save_p50_ms"] > 0, r
+    assert r["ckpt_save_max_ms"] >= r["ckpt_save_p50_ms"], r
     # bounded memory across the wave (CI scale: generous but finite)
     assert r["rss_growth_mb"] < 256, r

@@ -323,9 +323,25 @@ def run_serving_bench(
             fault_waves.append(th)
             th.start()
 
+    ckpt_times_ms: list[float] = []
+    ckpt_stop = threading.Event()
+    ckpt_thread = None
     if checkpoint:
-        time.sleep(min(5.0, seconds / 2))
-        srv.save_checkpoint("/tmp/serve_bench_ckpt.npz")
+        # repeating checkpoint wave, not a single save: each save must not
+        # stall the engine tick (save_checkpoint materializes device state
+        # to host OFF the state lock; only the async on-device copy
+        # dispatch happens under it), and the save latency itself is a
+        # reported serving metric
+        def ckpt_wave():
+            while not ckpt_stop.is_set() and any(cl.is_alive() for cl in clients):
+                if ckpt_stop.wait(2.0):
+                    break
+                t = time.perf_counter()
+                srv.save_checkpoint("/tmp/serve_bench_ckpt.npz")
+                ckpt_times_ms.append((time.perf_counter() - t) * 1e3)
+
+        ckpt_thread = threading.Thread(target=ckpt_wave, daemon=True)
+        ckpt_thread.start()
 
     for cl in clients:
         cl.join(timeout=600)
@@ -336,6 +352,15 @@ def run_serving_bench(
     if churn_thread is not None:
         churn_stop.set()
         churn_thread.join(timeout=180)
+    if ckpt_thread is not None:
+        ckpt_stop.set()
+        ckpt_thread.join(timeout=120)
+        if not ckpt_times_ms:
+            # run too short for the wave cadence — still exercise one save
+            # under whatever load remains so checkpoint_under_load is real
+            t = time.perf_counter()
+            srv.save_checkpoint("/tmp/serve_bench_ckpt.npz")
+            ckpt_times_ms.append((time.perf_counter() - t) * 1e3)
     fault_results: dict = {}
     if faults:
         # finalize the fault wave and probe health BEFORE the server stops
@@ -393,6 +418,9 @@ def run_serving_bench(
     }
     if checkpoint:
         result["checkpoint_under_load"] = "ok"
+        result["ckpt_saves"] = len(ckpt_times_ms)
+        result["ckpt_save_p50_ms"] = round(_pct(ckpt_times_ms, 0.50), 1)
+        result["ckpt_save_max_ms"] = round(max(ckpt_times_ms), 1)
     result.update(fault_results)
     return result
 
