@@ -265,3 +265,19 @@ def test_pending_segments_roundtrip():
     back = EngineCheckpoint.from_bytes(ckpt.to_bytes())
     assert back.pending == [None, (5, 9), (0, 2)]
     np.testing.assert_array_equal(back.chunk_indices, [7, 9, 11])
+
+
+def test_sendbuf_roundtrip():
+    """Rendered-but-unsent serving output bytes (per-slot outbox under
+    client backpressure) survive the checkpoint container, including empty
+    slots and a partial-line suffix."""
+    from vadc_tpu.engine.checkpoint import EngineCheckpoint
+    from vadc_tpu.engine.runner import init_stream_state
+
+    bufs = [b"", b"1.99,5.12\n6.98,10.21\n", b",5.12\n"]  # [2]: head suffix
+    ckpt = EngineCheckpoint("v3", init_stream_state("v3", 3), sendbuf=bufs)
+    back = EngineCheckpoint.from_bytes(ckpt.to_bytes())
+    assert back.sendbuf == bufs
+    # absent field stays absent (older checkpoints load unchanged)
+    plain = EngineCheckpoint("v3", init_stream_state("v3", 3))
+    assert EngineCheckpoint.from_bytes(plain.to_bytes()).sendbuf is None

@@ -168,3 +168,13 @@ def test_degradation_matrix_end_to_end():
     # (documented in accuracy_eval._degradations) — what must still hold
     # is zero FALSE alarms
     assert by_name["bandlimit_300_3400"]["frame_precision"] == 1.0
+
+
+def test_reverb_short_rt60_is_valid():
+    # early-reflection indices are clamped to the RIR length: very short
+    # rt60 values must neither index past the RIR nor hit lo >= hi
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    for rt60 in (0.004, 0.02, 0.04):
+        out = degrade.reverb(audio, 16000, rt60_s=rt60)
+        assert out.shape == audio.shape and np.isfinite(out).all(), rt60

@@ -172,9 +172,11 @@ def test_stream_pool_multiple_reader_threads():
 
 
 def test_stream_pool_ring_overflow_eof():
-    """EOF arriving while the ring is full leaves >1 chunk in the staging
-    buffer; the drain must flush whole chunks before the zero-padded tail
-    (regression: this path overflowed the gather row)."""
+    """EOF arriving while the tiny ring is full: the pool caps each read to
+    free ring space (backpressure, no staging buffer since the r4 direct-
+    to-ring rewrite), so the remaining bytes must keep draining in whole
+    chunks AFTER EOF until only the zero-padded tail is left (regression:
+    the old staging-buffer drain overflowed the gather row here)."""
     import os
     import time
 

@@ -240,6 +240,125 @@ def test_server_checkpoint_resume(testdata):
     assert got == expected
 
 
+def test_restore_redelivers_unsent_output(testdata, tmp_path):
+    """Lines that were rendered but still backpressured at checkpoint time
+    are re-delivered to the reconnecting client after a restore — the
+    serving analogue of not losing the held pending segment."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from vadc_tpu.engine.checkpoint import EngineCheckpoint
+    from vadc_tpu.server import VadServer
+
+    def start_server():
+        srv = VadServer(
+            port=0, max_streams=1,
+            model=str(testdata / "silero_v31_16k.testtensor"),
+        )
+        sock = socket.create_server(("127.0.0.1", 0))
+        srv.pool.start()
+        threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
+        threading.Thread(target=srv._engine_loop, daemon=True).start()
+        return srv, sock, sock.getsockname()[1]
+
+    # craft a checkpoint whose slot 0 holds unsent output bytes: save a
+    # fresh server's state, then inject the outbox content
+    srv0, sock0, _ = start_server()
+    path = tmp_path / "server.ckpt"
+    srv0.save_checkpoint(path)
+    srv0._stop.set()
+    sock0.close()
+    ckpt = EngineCheckpoint.load(path)
+    ckpt.sendbuf = [b"0.50,1.00\n"]
+    ckpt.save(path)
+
+    srv, sock, port = start_server()
+    srv.restore_checkpoint(path)
+    sil = f32_to_s16le(
+        (np.random.default_rng(3).normal(size=16000) * 0.001).astype(np.float32)
+    )
+    got = _run_client(port, sil)  # silence: the only output is re-delivery
+    srv._stop.set()
+    sock.close()
+    assert got == [(0.50, 1.00)]
+
+
+def _bare_outbox_server():
+    """A VadServer shell exposing just the outbox machinery (no native
+    pool, no model): _queue_segment/_pump_outbox only touch cfg, slots,
+    and the drop counter."""
+    from vadc_tpu.cli.segmenter import SegmenterConfig
+    from vadc_tpu.server import VadServer
+
+    srv = VadServer.__new__(VadServer)
+    srv.cfg = SegmenterConfig.from_ms(chunk_samples=1536)
+    srv.slots = [None]
+    srv.segments_dropped = 0
+    return srv
+
+
+def test_outbox_never_blocks_and_preserves_line_integrity():
+    """A client that stops reading must not stall emits (the engine tick
+    runs them under the state lock): queueing N segments to a
+    backpressured socket completes in bounded time, the outbox cap drops
+    oldest whole lines only, and whatever IS delivered is intact, ordered
+    segment lines — never a torn line."""
+    import time
+
+    from vadc_tpu.server import _Slot
+
+    srv = _bare_outbox_server()
+    a, b = socket.socketpair()
+    a.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+    a.setblocking(False)
+    slot = _Slot(a)
+    srv.slots[0] = slot
+
+    n = 5000
+    t0 = time.perf_counter()
+    for i in range(n):
+        srv._queue_segment(0, 10 * i + 2, 10 * i + 6)
+    elapsed = time.perf_counter() - t0
+    # the old code waited up to 5 s per blocked line; queueing must be
+    # orders of magnitude cheaper than even ONE such wait
+    assert elapsed < 2.0, f"queueing blocked: {elapsed:.1f}s for {n} segments"
+    assert len(slot.outbox) <= srv._OUTBOX_CAP_LINES + 1
+    assert srv.segments_dropped > 0  # cap actually engaged
+
+    # drain: the peer starts reading; pump until empty
+    b.setblocking(False)
+    received = bytearray()
+    deadline = time.monotonic() + 30
+    while (slot.outbox or slot.head_off) and time.monotonic() < deadline:
+        srv._pump_outbox(slot)
+        try:
+            while True:
+                got = b.recv(65536)
+                if not got:
+                    break
+                received += got
+        except BlockingIOError:
+            pass
+    try:
+        while True:
+            got = b.recv(65536)
+            if not got:
+                break
+            received += got
+    except BlockingIOError:
+        pass
+    assert not slot.outbox
+    lines = received.decode().splitlines()
+    assert received.endswith(b"\n"), "torn trailing line"
+    starts = [float(l.split(",")[0]) for l in lines]
+    # every delivered line is intact and strictly ordered (drops leave
+    # gaps, never reordering or corruption)
+    assert starts == sorted(starts) and len(set(starts)) == len(starts)
+    # delivered + dropped accounts for every queued segment
+    assert len(lines) + srv.segments_dropped == n
+    a.close()
+    b.close()
+
+
 def test_churn_no_dropped_or_duplicated_segments(testdata):
     """Connect/disconnect storms: waves of short-lived clients over a small
     slot pool, every client must receive EXACTLY its own segments (no drops,

@@ -71,12 +71,24 @@ def run_ingest(
     payload = (rng.standard_normal(chunk_samples) * 8000).astype("<i2").tobytes()
 
     def writer(fds: list[int]) -> None:
-        while not stop.is_set():
+        # each writer OWNS its write fds and closes them itself: the main
+        # thread closing an fd another thread is blocked in os.write on
+        # wouldn't wake it, and a racing reuse of the fd number would send
+        # PCM into an unrelated file; teardown instead closes the READ
+        # ends, which wakes blocked writers with EPIPE
+        try:
+            while not stop.is_set():
+                for fd in fds:
+                    try:
+                        os.write(fd, payload)  # blocks on ring backpressure
+                    except (BrokenPipeError, OSError):
+                        return
+        finally:
             for fd in fds:
                 try:
-                    os.write(fd, payload)  # blocks on ring backpressure
-                except (BrokenPipeError, OSError):
-                    return
+                    os.close(fd)
+                except OSError:
+                    pass
 
     threads = []
     per = max(1, n_streams // writer_threads)
@@ -112,19 +124,16 @@ def run_ingest(
     elapsed = time.perf_counter() - t0
 
     stop.set()
-    for _, w in pipes:
-        try:
-            os.close(w)
-        except OSError:
-            pass
     pool.close()
+    # closing the read ends wakes writers blocked in os.write (EPIPE);
+    # each writer then closes its own write fds on exit
     for r, _ in pipes:
         try:
             os.close(r)
         except OSError:
             pass
     for th in threads:
-        th.join(timeout=2)
+        th.join(timeout=5)
 
     samples_per_s = chunks * chunk_samples / elapsed
     return {

@@ -291,7 +291,11 @@ def run_serving_bench(
         churn_thread = threading.Thread(target=churner, daemon=True)
         churn_thread.start()
 
-    fault_threads: list[threading.Thread] = []
+    # fault accounting by counters, not retained thread objects — an
+    # hour-long --faults run would otherwise hold ~10k dead Threads alive
+    # just to count them at the end
+    fault_counts = {"midwav": 0, "malformed": 0, "malformed_diagnosed": 0}
+    slow: _SlowlorisClient | None = None
     fault_waves: list[threading.Thread] = []
     rss_before = _rss_mb()
     if faults:
@@ -299,23 +303,23 @@ def run_serving_bench(
         # a crawling writer holding a slot, repeated mid-wav-decode aborts,
         # and malformed wav headers — all while checkpoints may fire
         slow = _SlowlorisClient(port, min(seconds, 10.0))
-        fault_threads.append(slow)
         slow.start()
 
         def abort_wave():
             while any(cl.is_alive() for cl in clients):
                 t = _MidWavDisconnectClient(port)
-                fault_threads.append(t)
                 t.start()
                 t.join(timeout=60)
+                fault_counts["midwav"] += 1
                 time.sleep(0.3)  # slot recycle before the next abort
 
         def malformed_wave():
             while any(cl.is_alive() for cl in clients):
                 t = _MalformedWavClient(port)
-                fault_threads.append(t)
                 t.start()
                 t.join(timeout=60)
+                fault_counts["malformed"] += 1
+                fault_counts["malformed_diagnosed"] += bool(t.diagnosed)
                 time.sleep(0.5)
 
         for wave in (abort_wave, malformed_wave):
@@ -366,23 +370,18 @@ def run_serving_bench(
         # finalize the fault wave and probe health BEFORE the server stops
         for th in fault_waves:  # wave generators first (they spawn clients)
             th.join(timeout=120)
-        for t in fault_threads:
-            t.join(timeout=60)
+        if slow is not None:
+            slow.join(timeout=60)
         # post-fault health probe: one fresh client must still get exact
         # segment delivery after every fault class has fired
         probe = _Client(port, pcm_cycle, 1, srv.chunk * 2, rtf)
         probe.start()
         probe.join(timeout=120)
-        malformed = [t for t in fault_threads if isinstance(t, _MalformedWavClient)]
-        aborts = [t for t in fault_threads if isinstance(t, _MidWavDisconnectClient)]
         fault_results = {
-            "fault_slowloris_errors": sum(
-                1 for t in fault_threads
-                if isinstance(t, _SlowlorisClient) and t.error
-            ),
-            "fault_midwav_aborts": len(aborts),
-            "fault_malformed": len(malformed),
-            "fault_malformed_diagnosed": sum(1 for t in malformed if t.diagnosed),
+            "fault_slowloris_errors": int(bool(slow is not None and slow.error)),
+            "fault_midwav_aborts": fault_counts["midwav"],
+            "fault_malformed": fault_counts["malformed"],
+            "fault_malformed_diagnosed": fault_counts["malformed_diagnosed"],
             "post_fault_delivery_exact": len(probe.segments) == segs_per_cycle
             and probe.error is None,
             "rss_growth_mb": round(_rss_mb() - rss_before, 1),

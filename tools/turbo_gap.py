@@ -29,6 +29,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))  # traffic_audit (shared HLO parser)
 
 import numpy as np
 
@@ -93,26 +94,10 @@ def cmd_hlo():
     })
     text = compiled.as_text()
     # rank fusion ROOT shapes by byte size (the tensors that cross HBM
-    # between kernels)
-    import re
+    # between kernels) — one parser for this, shared with traffic_audit
+    from traffic_audit import fusion_output_bytes
 
-    sizes = []
-    for m in re.finditer(
-        r"^\s*%?(fusion[.\w]*|[\w.]+) = (\((?:[^()]|\([^()]*\))*\)|\S+) fusion\(",
-        text,
-        re.M,
-    ):
-        name, shape = m.group(1), m.group(2)
-        nbytes = 0
-        for tm in re.finditer(r"(bf16|f32|s32|pred)\[([\d,]*)\]", shape):
-            dt, dims = tm.groups()
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            nbytes += n * (2 if dt == "bf16" else 1 if dt == "pred" else 4)
-        sizes.append((nbytes, name, shape[:120]))
-    sizes.sort(reverse=True)
+    _total, sizes = fusion_output_bytes(text)
     n_fusions = len(sizes)
     top = [
         {"mb": round(b / 2**20, 2), "name": n, "shape": s}

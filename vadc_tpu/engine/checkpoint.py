@@ -57,6 +57,10 @@ class EngineCheckpoint:
     raw_segments: list[list[tuple[int, int]]] | None = None
     pending: list[tuple[int, int] | None] | None = None
     chunk_indices: np.ndarray | None = None
+    # per-stream rendered-but-unsent output bytes (serving-daemon outbox
+    # under client backpressure) — saved so a restore re-delivers them to
+    # the reconnecting client (at-least-once) instead of dropping them
+    sendbuf: list[bytes] | None = None
 
     def to_bytes(self) -> bytes:
         tensors: dict[str, np.ndarray] = {
@@ -94,6 +98,13 @@ class EngineCheckpoint:
                 for p in self.pending
             ]
             tensors["seg.pending"] = np.asarray(rows, np.float32).reshape(-1, 3)
+        if self.sendbuf is not None:
+            tensors["seg.sendbuf_lens"] = np.asarray(
+                [len(b) for b in self.sendbuf], np.float32
+            )
+            tensors["seg.sendbuf_data"] = np.frombuffer(
+                b"".join(self.sendbuf), np.uint8
+            ).astype(np.float32)
         return save_testtensor_bytes(tensors)
 
     @classmethod
@@ -131,6 +142,13 @@ class EngineCheckpoint:
                 (int(s), int(e)) if has else None
                 for has, s, e in t["seg.pending"].reshape(-1, 3)
             ]
+        sendbuf = None
+        if "seg.sendbuf_lens" in t:
+            data = bytes(t["seg.sendbuf_data"].astype(np.uint8))
+            sendbuf, off = [], 0
+            for ln in t["seg.sendbuf_lens"].astype(np.int64):
+                sendbuf.append(data[off : off + ln])
+                off += ln
         return cls(
             family=family,
             model_state=model_state,
@@ -139,6 +157,7 @@ class EngineCheckpoint:
             raw_segments=raw_segments,
             pending=pending,
             chunk_indices=chunk_indices,
+            sendbuf=sendbuf,
         )
 
     # -- BatchSegmenter capture/restore ----------------------------------

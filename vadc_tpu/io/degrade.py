@@ -57,10 +57,15 @@ def synthetic_rir(
     )
     rir *= 0.3 / max(float(np.abs(rir).max()), 1e-12)
     rir[0] = 1.0  # direct path
-    early = rng.integers(int(0.005 * sr), int(0.05 * sr), n_early)
-    rir[early] += rng.uniform(0.2, 0.5, n_early).astype(np.float32) * np.sign(
-        rng.normal(size=n_early)
-    ).astype(np.float32)
+    # early reflections live in the first 50 ms, clamped to the RIR length
+    # so very short rt60 values stay valid (no index past n, and lo < hi)
+    hi = min(int(0.05 * sr), n)
+    lo = min(int(0.005 * sr), max(hi - 1, 1))
+    if hi > lo:
+        early = rng.integers(lo, hi, n_early)
+        rir[early] += rng.uniform(0.2, 0.5, n_early).astype(
+            np.float32
+        ) * np.sign(rng.normal(size=n_early)).astype(np.float32)
     return rir
 
 

@@ -186,12 +186,14 @@ STFT_DOTMAG_PALLAS: bool | None = False
 
 
 def _backend_is_tpu() -> bool:
-    # Deliberately "== tpu", not "!= cpu": the Mosaic kernel is only
+    # Deliberately an allowlist, not "!= cpu": the Mosaic kernel is only
     # validated on the TPU toolchain, so gpu/rocm/metal backends must take
-    # the einsum fallback. Not cached — backends can initialize after an
-    # early CPU-context call, and the check is two attribute reads.
+    # the einsum fallback. "axon" is the remote-TPU tunnel backend this
+    # repo actually runs on (same set tools/tpu_check.py accepts). Not
+    # cached — backends can initialize after an early CPU-context call,
+    # and the check is two attribute reads.
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

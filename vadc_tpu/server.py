@@ -35,7 +35,7 @@ import numpy as np
 
 
 class _Slot:
-    __slots__ = ("conn", "pending", "done_sent", "pipe_fd")
+    __slots__ = ("conn", "pending", "done_sent", "pipe_fd", "outbox", "head_off")
 
     def __init__(self, conn: socket.socket):
         self.conn = conn
@@ -44,6 +44,11 @@ class _Slot:
         # wav clients: read end of the decode pipe the pool drains (the
         # pool never closes fds; _finish_slot must)
         self.pipe_fd: int | None = None
+        # rendered-but-unsent segment lines (client backpressure): emits
+        # only QUEUE here — the engine loop pumps the bytes out with
+        # non-blocking sends, so a slow client can never stall the tick
+        self.outbox: list[bytes] = []
+        self.head_off = 0  # bytes of outbox[0] already sent (partial write)
 
 
 class VadServer:
@@ -125,6 +130,12 @@ class VadServer:
         # a slot continues the saved stream (no state reset; inherits the
         # held pending segment) instead of starting fresh
         self._resume_slots: dict[int, tuple[int, int] | None] = {}
+        # rendered-but-unsent bytes restored from a checkpoint, re-queued
+        # when the slot's client reconnects (at-least-once delivery)
+        self._resume_sendbuf: dict[int, bytes] = {}
+        # segment lines dropped to unresponsive clients (outbox cap / EOF
+        # flush timeout) — observability, mirrors the old 5 s-drop behavior
+        self.segments_dropped = 0
         self.host, self.port = host, port
         self._stop = threading.Event()
         # serving observability (bounded; ~30 min of 96 ms ticks): per-tick
@@ -223,8 +234,12 @@ class VadServer:
                 self.slots[slot] = _Slot(conn)
                 if slot in self._resume_slots:
                     # checkpoint continuation: keep LSTM/FSM state, re-attach
-                    # the held pending segment, skip the reset
+                    # the held pending segment and any rendered-but-unsent
+                    # bytes from the snapshot, skip the reset
                     self.slots[slot].pending = self._resume_slots.pop(slot)
+                    buf = self._resume_sendbuf.pop(slot, b"")
+                    if buf:
+                        self.slots[slot].outbox.append(buf)
                 else:
                     self._reset_requests.append(slot)
             # intake runs off-thread: it may block up to the sniff timeout
@@ -323,33 +338,74 @@ class VadServer:
             if pend_end_padded >= new_start_padded:
                 s.pending = (s.pending[0], end_c)
             else:
-                self._send_segment(slot, *s.pending)
+                self._queue_segment(slot, *s.pending)
                 s.pending = (start_c, end_c)
         else:
             s.pending = (start_c, end_c)
         if flush and s.pending is not None:
-            self._send_segment(slot, *s.pending)
+            self._queue_segment(slot, *s.pending)
             s.pending = None
 
-    def _send_segment(self, slot: int, start_c: int, end_c: int) -> None:
+    # an unresponsive client's outbox is capped; beyond it the oldest
+    # unsent whole lines are dropped (the reference's analogue drops a
+    # line after 5 s of backpressure rather than wedge, vadc.c's stdout
+    # never blocks this way). ~16 KB of segment lines per slot.
+    _OUTBOX_CAP_LINES = 1024
+
+    def _queue_segment(self, slot: int, start_c: int, end_c: int) -> None:
+        """Render the segment line and queue it. Deliberately CHEAP: emits
+        run under _state_lock (tick/checkpoint coherence), so the socket
+        write happens in _pump_outbox — a client that stops reading must
+        never stall the engine tick, every other stream, or a checkpoint."""
         s = self.slots[slot]
         if s is None:
             return
         spc, pad = self.cfg.seconds_per_chunk, self.cfg.speech_pad_s
         start = max(start_c * spc - pad, 0.0)
         end = end_c * spc + pad
-        # The socket is O_NONBLOCK (shared fd with the ingest pool); under
-        # client backpressure send() raises BlockingIOError — wait for
-        # writability and retry instead of dropping the segment line.
-        view = memoryview(f"{start:.2f},{end:.2f}\n".encode())
-        while view:
+        s.outbox.append(f"{start:.2f},{end:.2f}\n".encode())
+        if len(s.outbox) > self._OUTBOX_CAP_LINES:
+            # never drop the partially-sent head — splitting a line would
+            # corrupt the client's stream; drop the oldest whole lines
+            keep = 1 if s.head_off else 0
+            excess = len(s.outbox) - self._OUTBOX_CAP_LINES
+            del s.outbox[keep : keep + excess]
+            self.segments_dropped += excess
+        self._pump_outbox(s)
+
+    def _pump_outbox(self, s: _Slot) -> bool:
+        """Non-blocking drain of a slot's queued segment bytes. Returns
+        True when the outbox is empty (or the client is gone), False when
+        the socket would block. Only the engine-loop thread pumps, so
+        partial-write bookkeeping needs no extra lock."""
+        while s.outbox:
+            line = s.outbox[0]
             try:
-                view = view[s.conn.send(view) :]
+                n = s.conn.send(line[s.head_off :] if s.head_off else line)
             except BlockingIOError:
-                if not select.select([], [s.conn], [], 5.0)[1]:
-                    break  # client unresponsive for 5 s: drop, don't wedge
+                return False
             except OSError:
-                break
+                s.outbox.clear()
+                s.head_off = 0
+                return True
+            s.head_off += n
+            if s.head_off >= len(line):
+                s.outbox.pop(0)
+                s.head_off = 0
+        return True
+
+    def _flush_outbox_blocking(self, s: _Slot, timeout: float = 5.0) -> None:
+        """EOF flush: give a backpressured client up to `timeout` to drain
+        its remaining lines, then drop. Runs OUTSIDE _state_lock (only at
+        slot finish), so even this bounded wait never stalls the engine."""
+        deadline = time.monotonic() + timeout
+        while not self._pump_outbox(s):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 or not select.select([], [s.conn], [], remaining)[1]:
+                self.segments_dropped += len(s.outbox)
+                s.outbox.clear()
+                s.head_off = 0
+                return
 
     def _finish_slot(self, slot: int) -> None:
         """EOF snap (vadc.c:1005-1027), flush, close, recycle.
@@ -367,7 +423,7 @@ class VadServer:
                     self._emit(slot, start, last_chunk)
             s = self.slots[slot]
             if s is not None and s.pending is not None:
-                self._send_segment(slot, *s.pending)
+                self._queue_segment(slot, *s.pending)
                 s.pending = None
             # reset FSM state for reuse
             fsm.triggered[slot] = 0
@@ -375,6 +431,7 @@ class VadServer:
             fsm.temp_end[slot] = 0
             fsm.chunk_index[slot] = 0
         if s is not None:
+            self._flush_outbox_blocking(s)
             try:
                 s.conn.shutdown(socket.SHUT_RDWR)
             except OSError:
@@ -427,12 +484,23 @@ class VadServer:
         with self._state_lock:
             with self._lock:
                 pending = []
+                sendbuf = []
                 for slot in range(self.n):
                     s = self.slots[slot]
                     p = s.pending if s is not None else None
                     if p is None:
                         p = self._resume_slots.get(slot)
                     pending.append(p)
+                    # rendered-but-unsent lines: saved so a restore can
+                    # re-deliver them (the partially-sent head line keeps
+                    # only its unsent suffix — resending sent bytes would
+                    # corrupt the reconnecting client's stream)
+                    buf = b""
+                    if s is not None and s.outbox:
+                        buf = b"".join(s.outbox)[s.head_off :]
+                    if not buf:
+                        buf = self._resume_sendbuf.get(slot, b"")
+                    sendbuf.append(buf)
             h_dev = jnp.array(self.state.h, copy=True)
             c_dev = jnp.array(self.state.c, copy=True)
             ctx_dev = (
@@ -459,6 +527,7 @@ class VadServer:
             chunk_index=int(chunk_indices.max(initial=0)),
             pending=pending,
             chunk_indices=chunk_indices,
+            sendbuf=sendbuf,
         ).save(path)
 
     def restore_checkpoint(self, path) -> None:
@@ -484,15 +553,19 @@ class VadServer:
             else ckpt.chunk_index
         )
         pending = ckpt.pending or [None] * self.n
+        sendbuf = ckpt.sendbuf or [b""] * self.n
         with self._lock:
             for slot in range(self.n):
                 had_state = (
                     pending[slot] is not None
+                    or bool(sendbuf[slot])
                     or fsm.chunk_index[slot] > 0
                     or fsm.triggered[slot]
                 )
                 if had_state:
                     self._resume_slots[slot] = pending[slot]
+                    if sendbuf[slot]:
+                        self._resume_sendbuf[slot] = sendbuf[slot]
 
     # ---- engine loop ------------------------------------------------------
 
@@ -544,6 +617,12 @@ class VadServer:
                                 time.perf_counter() - t_ev
                             )
                         self.tick_times.append(time.perf_counter() - t0)
+                    # retry backpressured outboxes (non-blocking sends, so
+                    # safe under the lock; keeps outbox mutation confined
+                    # to _state_lock for checkpoint coherence)
+                    for s in self.slots:
+                        if s is not None and s.outbox:
+                            self._pump_outbox(s)
             # finish streams whose sockets have drained (attached gate:
             # an un-attached slot's pool state is the previous client's)
             for slot in range(self.n):
@@ -554,6 +633,13 @@ class VadServer:
                 ):
                     self._finish_slot(slot)
             if not count:
+                # idle ticks still retry backpressured outboxes — a client
+                # may pause its audio while unread segment lines remain
+                if any(s is not None and s.outbox for s in self.slots):
+                    with self._state_lock:
+                        for s in self.slots:
+                            if s is not None and s.outbox:
+                                self._pump_outbox(s)
                 time.sleep(0.002)
 
     def serve_forever(self) -> None:
