@@ -461,6 +461,8 @@ def main():
             "churn_clients",
             "churn_errors",
             "fault_slowloris_errors",
+            "fault_slowreader_delivery_exact",
+            "fault_slowreader_dropped",
             "fault_midwav_aborts",
             "fault_malformed",
             "fault_malformed_diagnosed",

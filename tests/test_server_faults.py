@@ -42,6 +42,9 @@ def test_fault_wave_end_to_end(testdata):
     assert r["fault_midwav_aborts"] >= 1, r
     assert r["fault_malformed"] >= 1, r
     assert r["fault_slowloris_errors"] == 0, r
+    # the non-reading client got every line intact once it finally read
+    # (outbox absorbed the backpressure; EOF flush delivered the rest)
+    assert r["fault_slowreader_delivery_exact"] is True, r
     # malformed wav headers were diagnosed with the one-line error reply
     assert r["fault_malformed_diagnosed"] == r["fault_malformed"], r
     # the server still serves exactly after all fault classes

@@ -167,6 +167,49 @@ class _SlowlorisClient(threading.Thread):
             self.error = f"slowloris: {e}"
 
 
+class _SlowReaderClient(threading.Thread):
+    """Streams audio at pace but REFUSES to read its socket until its
+    stream is done (tiny SO_RCVBUF forces early backpressure): the server's
+    per-slot outbox must absorb the unread segment lines without stalling
+    the engine tick, then deliver every line intact at EOF flush."""
+
+    def __init__(self, port: int, pcm: bytes, chunk_bytes: int, rtf: float):
+        super().__init__(daemon=True)
+        self.port = port
+        self.pcm = pcm
+        self.chunk_bytes = chunk_bytes
+        self.rtf = rtf
+        self.segments: list[tuple[float, float]] = []
+        self.error: str | None = None
+
+    def run(self) -> None:
+        try:
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 2048)
+            c.settimeout(30)
+            c.connect(("127.0.0.1", self.port))
+            period = (self.chunk_bytes / 2) / SR / self.rtf
+            for off in range(0, len(self.pcm), self.chunk_bytes):
+                c.sendall(self.pcm[off : off + self.chunk_bytes])
+                time.sleep(period)
+            c.shutdown(socket.SHUT_WR)
+            c.settimeout(60)
+            data = b""
+            while True:
+                got = c.recv(4096)
+                if not got:
+                    break
+                data += got
+            c.close()
+            self.segments = [
+                tuple(float(x) for x in line.split(","))
+                for line in data.decode().strip().splitlines()
+                if line and not line.startswith("error")
+            ]
+        except OSError as e:
+            self.error = f"slowreader: {e}"
+
+
 class _MidWavDisconnectClient(threading.Thread):
     """Sends a valid wav header + partial frames, then ABORTS the
     connection (RST via SO_LINGER 0) mid-decode. The intake thread must
@@ -250,7 +293,7 @@ def run_serving_bench(
     # without starving the steady clients
     srv = VadServer(
         port=0,
-        max_streams=n_clients + (2 if churn else 0) + (3 if faults else 0),
+        max_streams=n_clients + (2 if churn else 0) + (4 if faults else 0),
         model=model,
         precision=precision,
     )
@@ -304,6 +347,10 @@ def run_serving_bench(
         # and malformed wav headers — all while checkpoints may fire
         slow = _SlowlorisClient(port, min(seconds, 10.0))
         slow.start()
+        slow_reader = _SlowReaderClient(
+            port, pcm_cycle * 2, srv.chunk * 2, rtf
+        )
+        slow_reader.start()
 
         def abort_wave():
             while any(cl.is_alive() for cl in clients):
@@ -377,8 +424,12 @@ def run_serving_bench(
         probe = _Client(port, pcm_cycle, 1, srv.chunk * 2, rtf)
         probe.start()
         probe.join(timeout=120)
+        slow_reader.join(timeout=120)
         fault_results = {
             "fault_slowloris_errors": int(bool(slow is not None and slow.error)),
+            "fault_slowreader_delivery_exact": slow_reader.error is None
+            and len(slow_reader.segments) == 2 * segs_per_cycle,
+            "fault_slowreader_dropped": srv.segments_dropped,
             "fault_midwav_aborts": fault_counts["midwav"],
             "fault_malformed": fault_counts["malformed"],
             "fault_malformed_diagnosed": fault_counts["malformed_diagnosed"],
