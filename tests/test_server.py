@@ -285,7 +285,9 @@ def test_restore_redelivers_unsent_output(testdata, tmp_path):
 def _bare_outbox_server():
     """A VadServer shell exposing just the outbox machinery (no native
     pool, no model): _queue_segment/_pump_outbox only touch cfg, slots,
-    and the drop counter."""
+    and the observability counters."""
+    from collections import deque
+
     from vadc_tpu.cli.segmenter import SegmenterConfig
     from vadc_tpu.server import VadServer
 
@@ -293,15 +295,20 @@ def _bare_outbox_server():
     srv.cfg = SegmenterConfig.from_ms(chunk_samples=1536)
     srv.slots = [None]
     srv.segments_dropped = 0
+    srv.delivery_latencies = deque(maxlen=20000)
     return srv
 
 
-def test_outbox_never_blocks_and_preserves_line_integrity():
+@pytest.mark.parametrize("blocking", [False, True])
+def test_outbox_never_blocks_and_preserves_line_integrity(blocking):
     """A client that stops reading must not stall emits (the engine tick
     runs them under the state lock): queueing N segments to a
     backpressured socket completes in bounded time, the outbox cap drops
     oldest whole lines only, and whatever IS delivered is intact, ordered
-    segment lines — never a torn line."""
+    segment lines — never a torn line. Covers BOTH socket modes: raw
+    clients' sockets are O_NONBLOCK (shared with the ingest pool), wav
+    clients' sockets stay BLOCKING (the intake decoder reads them), so
+    the pump's writability probe is what prevents a wedge."""
     import time
 
     from vadc_tpu.server import _Slot
@@ -309,7 +316,7 @@ def test_outbox_never_blocks_and_preserves_line_integrity():
     srv = _bare_outbox_server()
     a, b = socket.socketpair()
     a.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
-    a.setblocking(False)
+    a.setblocking(blocking)
     slot = _Slot(a)
     srv.slots[0] = slot
 

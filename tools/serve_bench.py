@@ -282,6 +282,7 @@ def run_serving_bench(
     churn: bool = False,
     checkpoint: bool = False,
     faults: bool = False,
+    ckpt_period_s: float = 2.0,
 ) -> dict:
     from vadc_tpu import native
     from vadc_tpu.server import VadServer
@@ -385,7 +386,7 @@ def run_serving_bench(
         # reported serving metric
         def ckpt_wave():
             while not ckpt_stop.is_set() and any(cl.is_alive() for cl in clients):
-                if ckpt_stop.wait(2.0):
+                if ckpt_stop.wait(ckpt_period_s):
                     break
                 t = time.perf_counter()
                 srv.save_checkpoint("/tmp/serve_bench_ckpt.npz")
@@ -429,7 +430,6 @@ def run_serving_bench(
             "fault_slowloris_errors": int(bool(slow is not None and slow.error)),
             "fault_slowreader_delivery_exact": slow_reader.error is None
             and len(slow_reader.segments) == 2 * segs_per_cycle,
-            "fault_slowreader_dropped": srv.segments_dropped,
             "fault_midwav_aborts": fault_counts["midwav"],
             "fault_malformed": fault_counts["malformed"],
             "fault_malformed_diagnosed": fault_counts["malformed_diagnosed"],
@@ -446,6 +446,7 @@ def run_serving_bench(
     audio_total = sum(cl.audio_seconds for cl in clients)
     ticks = [t * 1e3 for t in srv.tick_times]
     emits = [t * 1e3 for t in srv.emit_latencies]
+    dels = [t * 1e3 for t in srv.delivery_latencies]
     result = {
         "clients": n_clients,
         "precision": precision,
@@ -463,6 +464,12 @@ def run_serving_bench(
         "ticks_measured": len(ticks),
         "emit_p50_ms": round(_pct(emits, 0.50), 3) if emits else None,
         "emit_p99_ms": round(_pct(emits, 0.99), 3) if emits else None,
+        # client-observed: queued -> kernel, incl. outbox parking (a
+        # non-reading fault client deliberately dominates the p99 when
+        # --faults is on)
+        "delivery_p50_ms": round(_pct(dels, 0.50), 3) if dels else None,
+        "delivery_p99_ms": round(_pct(dels, 0.99), 3) if dels else None,
+        "segments_dropped": srv.segments_dropped,
         "churn_clients": len(churn_clients),
         "churn_errors": sum(1 for c in churn_clients if c.error),
     }

@@ -146,7 +146,12 @@ class VadServer:
         from collections import deque
 
         self.tick_times: deque = deque(maxlen=20000)
+        # emit_latencies: FSM event -> line rendered+queued+first send
+        # attempt (the engine-side emit cost). delivery_latencies: line
+        # queued -> fully handed to the kernel, INCLUDING time parked in
+        # the outbox under client backpressure (what the client observes).
         self.emit_latencies: deque = deque(maxlen=20000)
+        self.delivery_latencies: deque = deque(maxlen=20000)
 
         # one jitted tick: batched step + masked merge (idle slots hold) +
         # masked reset (fresh slots restart from zeros)
@@ -239,7 +244,18 @@ class VadServer:
                     self.slots[slot].pending = self._resume_slots.pop(slot)
                     buf = self._resume_sendbuf.pop(slot, b"")
                     if buf:
-                        self.slots[slot].outbox.append(buf)
+                        # re-queue as individual lines, not one blob: the
+                        # outbox cap counts entries, and drop accounting
+                        # must count real lines. The blob may START with a
+                        # partial-line suffix (checkpoint taken mid-send);
+                        # it always ENDS on a line boundary.
+                        now = time.perf_counter()
+                        parts = buf.split(b"\n")
+                        tail = parts.pop()  # b"" on a boundary
+                        entries = [(p + b"\n", now) for p in parts]
+                        if tail:
+                            entries.append((tail, now))
+                        self.slots[slot].outbox.extend(entries)
                 else:
                     self._reset_requests.append(slot)
             # intake runs off-thread: it may block up to the sniff timeout
@@ -363,7 +379,7 @@ class VadServer:
         spc, pad = self.cfg.seconds_per_chunk, self.cfg.speech_pad_s
         start = max(start_c * spc - pad, 0.0)
         end = end_c * spc + pad
-        s.outbox.append(f"{start:.2f},{end:.2f}\n".encode())
+        s.outbox.append((f"{start:.2f},{end:.2f}\n".encode(), time.perf_counter()))
         if len(s.outbox) > self._OUTBOX_CAP_LINES:
             # never drop the partially-sent head — splitting a line would
             # corrupt the client's stream; drop the oldest whole lines
@@ -374,15 +390,30 @@ class VadServer:
         self._pump_outbox(s)
 
     def _pump_outbox(self, s: _Slot) -> bool:
-        """Non-blocking drain of a slot's queued segment bytes. Returns
-        True when the outbox is empty (or the client is gone), False when
-        the socket would block. Only the engine-loop thread pumps, so
-        partial-write bookkeeping needs no extra lock."""
+        """Drain a slot's queued segment lines without EVER blocking.
+        Returns True when the outbox is empty (or the client is gone),
+        False when the socket can't take more bytes right now.
+
+        A writability probe guards every send: wav clients' sockets stay
+        in BLOCKING mode (the intake decoder reads them with blocking
+        reads) and during the RIFF sniff the socket is in timeout mode, so
+        a bare send() could wedge or raise TimeoutError. Bookkeeping is
+        never torn: callers either hold _state_lock (engine loop,
+        checkpoint-coherent) or solely own the detached slot (closer
+        thread after _finish_slot)."""
         while s.outbox:
-            line = s.outbox[0]
+            try:
+                writable = select.select([], [s.conn], [], 0)[1]
+            except (OSError, ValueError):  # fd closed under us
+                s.outbox.clear()
+                s.head_off = 0
+                return True
+            if not writable:
+                return False
+            line, t_queued = s.outbox[0]
             try:
                 n = s.conn.send(line[s.head_off :] if s.head_off else line)
-            except BlockingIOError:
+            except (BlockingIOError, TimeoutError):
                 return False
             except OSError:
                 s.outbox.clear()
@@ -392,19 +423,33 @@ class VadServer:
             if s.head_off >= len(line):
                 s.outbox.pop(0)
                 s.head_off = 0
+                # true delivery latency: rendered -> fully handed to the
+                # kernel, INCLUDING time parked under backpressure
+                self.delivery_latencies.append(time.perf_counter() - t_queued)
         return True
 
     def _flush_outbox_blocking(self, s: _Slot, timeout: float = 5.0) -> None:
         """EOF flush: give a backpressured client up to `timeout` to drain
-        its remaining lines, then drop. Runs OUTSIDE _state_lock (only at
-        slot finish), so even this bounded wait never stalls the engine."""
+        its remaining lines, then drop. Runs on the closer thread (never
+        the engine loop — a 5 s wait there would freeze every stream's
+        tick); each pump runs under _state_lock so a concurrent checkpoint
+        never captures torn partial-write bookkeeping, while the WAIT
+        itself happens outside the lock."""
         deadline = time.monotonic() + timeout
-        while not self._pump_outbox(s):
+        while True:
+            with self._state_lock:
+                if self._pump_outbox(s):
+                    return
             remaining = deadline - time.monotonic()
-            if remaining <= 0 or not select.select([], [s.conn], [], remaining)[1]:
-                self.segments_dropped += len(s.outbox)
-                s.outbox.clear()
-                s.head_off = 0
+            try:
+                writable = select.select([], [s.conn], [], max(remaining, 0))[1]
+            except (OSError, ValueError):
+                writable = False
+            if remaining <= 0 or not writable:
+                with self._state_lock:
+                    self.segments_dropped += len(s.outbox)
+                    s.outbox.clear()
+                    s.head_off = 0
                 return
 
     def _finish_slot(self, slot: int) -> None:
@@ -430,7 +475,19 @@ class VadServer:
             fsm.speech_start[slot] = 0
             fsm.temp_end[slot] = 0
             fsm.chunk_index[slot] = 0
-        if s is not None:
+        if s is None:
+            with self._lock:
+                self.slots[slot] = None
+                self._free.append(slot)
+            return
+        # detach the slot from the engine's view BEFORE any flush wait:
+        # from here the closer below is the _Slot's sole owner (no
+        # concurrent pumps; a checkpoint sees the slot as free — correct,
+        # the stream is finished and has nothing to resume)
+        with self._lock:
+            self.slots[slot] = None
+
+        def closer():
             self._flush_outbox_blocking(s)
             try:
                 s.conn.shutdown(socket.SHUT_RDWR)
@@ -444,9 +501,15 @@ class VadServer:
                     os.close(s.pipe_fd)  # wav decode pipe read end
                 except OSError:
                     pass
-        with self._lock:
-            self.slots[slot] = None
-            self._free.append(slot)
+            with self._lock:
+                self._free.append(slot)
+
+        if s.outbox:
+            # backpressured client at EOF: the flush may wait up to 5 s —
+            # never on the engine thread (it would freeze every stream)
+            threading.Thread(target=closer, daemon=True).start()
+        else:
+            closer()
 
     # ---- checkpoint / resume ----------------------------------------------
 
@@ -497,7 +560,7 @@ class VadServer:
                     # corrupt the reconnecting client's stream)
                     buf = b""
                     if s is not None and s.outbox:
-                        buf = b"".join(s.outbox)[s.head_off :]
+                        buf = b"".join(ln for ln, _t in s.outbox)[s.head_off :]
                     if not buf:
                         buf = self._resume_sendbuf.get(slot, b"")
                     sendbuf.append(buf)
