@@ -189,10 +189,19 @@ static void pool_reader_loop(VadcPool* pool, int shard) {
             std::lock_guard<std::mutex> lock(pool->fd_mutex);
             for (int i = shard; i < pool->n_streams; i += pool->n_threads) {
                 Stream& s = pool->streams[i];
-                if (s.fd >= 0 && !s.eof.load(std::memory_order_acquire)) {
-                    fds.push_back({s.fd, POLLIN, 0});
-                    idx.push_back(i);
-                }
+                if (s.fd < 0 || s.eof.load(std::memory_order_acquire)) continue;
+                // skip streams whose ring is full: their fd stays
+                // level-triggered readable, so polling them would spin
+                // this thread at 100% CPU until the engine consumes.
+                // used == ring_chunks is exactly "free_samples <= 0" in
+                // pool_drain_fd (the in-progress slot always has fill <
+                // chunk); re-checked next loop, poll timeout bounds the
+                // resume latency at 10 ms.
+                int64_t used = s.head.load(std::memory_order_relaxed) -
+                               s.tail.load(std::memory_order_acquire);
+                if (used >= pool->ring_chunks) continue;
+                fds.push_back({s.fd, POLLIN, 0});
+                idx.push_back(i);
             }
         }
         if (fds.empty()) {
@@ -223,6 +232,13 @@ int vadc_pool_start(VadcPool* pool) {
 // Returns the number of ready streams.
 int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
     const size_t chunk = static_cast<size_t>(pool->chunk_samples);
+    // fd_mutex serializes against vadc_pool_add_fd's slot reset: without
+    // it a recycle racing this loop could tear head/tail/fill/drained (a
+    // stale tail read + a fresh head publish would make the new stream's
+    // first chunks appear consumed). Uncontended cost is one lock per
+    // engine tick; add_fd (per client connect) is the only other taker
+    // besides the readers' brief poll-set builds.
+    std::lock_guard<std::mutex> lock(pool->fd_mutex);
     int64_t count = 0;
     for (int i = 0; i < pool->n_streams; ++i) {
         Stream& s = pool->streams[i];

@@ -139,18 +139,39 @@ def test_step_state_is_donated(v31_params):
     assert not new_state.h.is_deleted()
 
 
-@pytest.mark.parametrize("family", ["v3", "v5"])
+@pytest.mark.parametrize("family", ["v3", "v4", "v4_8k", "v5", "v5_8k"])
 def test_tblock_scan_matches_plain_scan(v31_params, family):
     """The chunk-blocked scan (front-end batched over B*tblock) must produce
-    the plain scan's probabilities and final state for every family shape,
-    including the v5 context carry."""
+    the plain scan's probabilities and final state for EVERY family,
+    including the v5 context carry and the v4/v5 8 kHz branches (the 8 kHz
+    stage strides must reach the blocked encoder too — regression: the
+    v4_8k shim had no `encode` for the tblock path to resolve)."""
+    from pathlib import Path
+
     if family == "v3":
         params, chunk = v31_params, 1536
-    else:
-        from vadc_tpu.models.synthetic import random_v5_archive
-        from vadc_tpu.models.silero_v5 import silero_v5_params
+    elif family in ("v4", "v4_8k"):
+        from vadc_tpu.io.testtensor import load_testtensor
+        from vadc_tpu.models.silero_v4 import silero_v4_params
 
-        params, chunk = silero_v5_params(random_v5_archive()), 512
+        name = "silero_v4_16k" if family == "v4" else "silero_v4_8k"
+        bundled = (
+            Path(__file__).resolve().parent.parent
+            / "vadc_tpu" / "data" / f"{name}.testtensor"
+        )
+        params = silero_v4_params(load_testtensor(bundled))
+        chunk = 1536 if family == "v4" else 768
+    else:
+        from vadc_tpu.models.silero_v5 import silero_v5_params
+        from vadc_tpu.models.synthetic import (
+            random_v5_8k_archive,
+            random_v5_archive,
+        )
+
+        if family == "v5":
+            params, chunk = silero_v5_params(random_v5_archive()), 512
+        else:
+            params, chunk = silero_v5_params(random_v5_8k_archive()), 256
 
     plain = StreamRunner(family, params)
     blocked = StreamRunner(family, params, scan_block_chunks=2)

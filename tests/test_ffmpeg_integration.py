@@ -213,6 +213,65 @@ def test_cli_reports_decoder_crash(fake_ffmpeg, tmp_path, testdata, capsys):
         ]
     )
     out, err = capsys.readouterr()
-    assert rc == 0
+    assert rc == 1  # latched mid-stream failure exits nonzero
     assert len(out.strip().splitlines()) == 48  # the delivered prefix
+    assert "Error: BS_Error_Error" in err
+
+
+def test_cli_unsupported_wav_codec_falls_back_to_ffmpeg(
+    fake_ffmpeg, tmp_path, testdata, capsys
+):
+    """A RIFF/WAVE file with a codec outside the native decode set (MS
+    ADPCM, tag 2) must not hard-fail: the reference decodes EVERY container
+    through ffmpeg (vadc.c:531-608), so the file path retries via the
+    spawned decoder after the header rejection."""
+    import struct
+
+    from vadc_tpu.cli import main as cli_main
+
+    pcm = _pcm(512 * 32, seed=6)
+    fmt_body = struct.pack("<HHIIHH", 2, 1, 16000, 32000, 2, 16)
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    media = tmp_path / "msadpcm.wav"
+    media.write_bytes(blob)
+    rc = cli_main.main(
+        [
+            "--raw_probabilities",
+            "--sequence_count", "512",
+            "--model", str(testdata / "silero_v31_16k.testtensor"),
+            str(media),
+        ]
+    )
+    out, err = capsys.readouterr()
+    assert rc == 0
+    assert "falling back to ffmpeg" in err
+    assert "Error: BS_Error_EndOfFile" in err
+    assert len(out.strip().splitlines()) > 0
+
+
+def test_cli_exit_nonzero_on_latched_stream_error(
+    fake_ffmpeg, tmp_path, testdata, capsys
+):
+    """A mid-stream decoder failure must exit nonzero like the open-time
+    failures do — a shell pipeline checking $? must see the decode fail."""
+    from vadc_tpu.cli import main as cli_main
+
+    media = tmp_path / "die-midstream.mp3"
+    media.write_bytes(_pcm(512 * 8, seed=7))
+    rc = cli_main.main(
+        [
+            "--raw_probabilities",
+            "--sequence_count", "512",
+            "--model", str(testdata / "silero_v31_16k.testtensor"),
+            str(media),
+        ]
+    )
+    _out, err = capsys.readouterr()
+    assert rc == 1
     assert "Error: BS_Error_Error" in err

@@ -242,3 +242,34 @@ def test_fsm_state_carries_across_slabs():
     assert ev == []
     ev = fsm.feed(probs[:, 5:])
     assert ev == [(0, 3, 9)]
+
+
+def test_full_ring_does_not_busy_spin():
+    """A backpressured stream (ring full, fd still readable) must not spin
+    a reader thread at 100% CPU: the poll set skips full-ring streams and
+    re-checks on the 10 ms poll cadence."""
+    import os
+    import time
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    chunk = 256
+    pool = native.StreamPool(1, chunk, ring_chunks=2)
+    r, w = os.pipe()
+    pool.add_fd(0, r)
+    pool.start()
+    try:
+        # fill the ring and leave plenty buffered in the pipe (level-
+        # triggered POLLIN stays set the whole time)
+        os.write(w, np.zeros(10 * chunk, np.int16).tobytes())
+        time.sleep(0.2)
+        t0 = time.process_time()
+        time.sleep(1.0)
+        cpu = time.process_time() - t0
+        # a spinning reader burns ~1.0 s of CPU here; the fixed pool's
+        # wakeups cost a few ms
+        assert cpu < 0.5, f"reader busy-spin: {cpu:.2f}s CPU in 1s wall"
+    finally:
+        pool.close()
+        os.close(w)
+        os.close(r)

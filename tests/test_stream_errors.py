@@ -138,7 +138,8 @@ def test_cli_reports_latched_error_kind(testdata, monkeypatch, capsys):
     monkeypatch.setattr(
         cli_main.sys, "stdin", _Stdin(_DyingStream(b"\x00" * window_bytes))
     )
-    assert cli_main.main(argv) == 0
+    # a latched genuine failure exits nonzero (clean EOF below stays 0)
+    assert cli_main.main(argv) == 1
     out, err = capsys.readouterr()
     assert len(out.strip().splitlines()) == 96  # the full window was emitted
     assert "Error: BS_Error_Error" in err

@@ -716,3 +716,35 @@ def test_cli_missing_local_file_still_one_line_error(capsys, tmp_path):
     err = capsys.readouterr().err
     assert "BS_Error_CantOpenFile" in err
     assert "ffmpeg" not in err  # diagnosed at the stat gate, no spawn
+
+
+def test_cli_wav_stdin_honors_start_seconds(monkeypatch, capsys, tmp_path):
+    """`vadc --start_seconds 1 < file.wav` must skip exactly like the file
+    path does (regression: the stdin wav branch dropped the flag, so the
+    two invocation styles produced different timestamps silently)."""
+    from vadc_tpu.cli import main as cli_main
+
+    audio = _synthetic_speech(16000)[: 32 * 512]
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2").tobytes()
+    blob = _wav_bytes(pcm)
+    f = tmp_path / "seek.wav"
+    f.write_bytes(blob)
+    argv = ["--raw_probabilities", "--sequence_count", "512",
+            "--start_seconds", "0.5"]
+    assert cli_main.main(argv + [str(f)]) == 0
+    file_out = capsys.readouterr().out.strip().splitlines()
+
+    class _Stdin:
+        def __init__(self, b):
+            self.buffer = io.BytesIO(b)
+
+    monkeypatch.setattr(cli_main.sys, "stdin", _Stdin(blob))
+    assert cli_main.main(argv) == 0
+    stdin_out = capsys.readouterr().out.strip().splitlines()
+    assert stdin_out == file_out
+
+    # and the seek really skipped material vs. not seeking
+    monkeypatch.setattr(cli_main.sys, "stdin", _Stdin(blob))
+    assert cli_main.main(argv[:-2]) == 0
+    noseek_out = capsys.readouterr().out.strip().splitlines()
+    assert len(noseek_out) > len(stdin_out)

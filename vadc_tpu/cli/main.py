@@ -293,12 +293,17 @@ def _main(argv: list[str] | None = None) -> int:
 
     window_samples = seq * WINDOW_CHUNKS
 
+    stream_failed = False
+
     def run(stream, eof_error_check=None) -> None:
         """Main ingest loop over a latched-error BufferedStream (reference
         vadc.c:852-999): process windows while healthy; the refill that
-        latches an error kind reports it to stderr and ends the loop."""
+        latches an error kind reports it to stderr and ends the loop. A
+        genuine failure (anything but the clean EndOfFile) also makes the
+        process exit nonzero, matching the open-time failure modes."""
         import numpy as np
 
+        nonlocal stream_failed
         bs = BufferedStream(
             stream,
             window_samples * BYTES_PER_SAMPLE,
@@ -310,6 +315,8 @@ def _main(argv: list[str] | None = None) -> int:
                 # the reference prints the latched kind even for a clean
                 # EndOfFile (vadc.c:911-947); stdout stays data-only
                 print(f"Error: BS_Error_{err.name}", file=sys.stderr)
+                if err != BSError.EndOfFile:
+                    stream_failed = True
                 break
             if len(data) % BYTES_PER_SAMPLE:
                 data = data[:-1]  # drop trailing odd byte
@@ -338,27 +345,44 @@ def _main(argv: list[str] | None = None) -> int:
                 sys.stdout.flush()
             stats.print_line()
 
-    def run_wav(source, where: str, start_seconds: float = 0.0) -> int:
+    def run_wav(
+        source, where: str, start_seconds: float = 0.0, can_fall_back: bool = False
+    ) -> int | None:
         """Shared native-wav branch for the file and stdin paths
         (the reference decodes every container through a spawned ffmpeg,
-        vadc.c:531-608)."""
+        vadc.c:531-608). Returns None when the HEADER is unsupported and
+        the caller can retry via ffmpeg (a file can be reopened; stdin is
+        already partially consumed, so it cannot)."""
+        wav = WavSource(source, target_rate=model_sr, start_seconds=start_seconds)
         try:
-            wav = WavSource(
-                source, target_rate=model_sr, start_seconds=start_seconds
-            )
-            with wav as stream:
-                f = wav.format
+            stream = wav.__enter__()
+        except WavFormatError as e:
+            if can_fall_back:
                 print(
-                    f"wav input{where}: {f.sample_rate} Hz, "
-                    f"{f.channels} ch, {f.bits_per_sample}-bit "
-                    f"{f.codec_name} "
-                    f"-> {model_sr} Hz mono (native decode)",
+                    f"note: native wav decode unavailable ({e}); "
+                    "falling back to ffmpeg",
                     file=sys.stderr,
                 )
-                run(stream)
-        except WavFormatError as e:
+                return None
             print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
             return 1
+        try:
+            f = wav.format
+            print(
+                f"wav input{where}: {f.sample_rate} Hz, "
+                f"{f.channels} ch, {f.bits_per_sample}-bit "
+                f"{f.codec_name} "
+                f"-> {model_sr} Hz mono (native decode)",
+                file=sys.stderr,
+            )
+            run(stream)
+        except WavFormatError as e:
+            # mid-stream decode failure: the audio is partially consumed,
+            # no fallback is possible — report like any latched error
+            print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+            return 1
+        finally:
+            wav.__exit__(None, None, None)
         return 0
 
     if args.filename:
@@ -387,7 +411,8 @@ def _main(argv: list[str] | None = None) -> int:
                 # input (vadc.c:404-414); same kind, same stderr discipline
                 print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
                 return 1
-        if is_riff_wave(head):
+        use_ffmpeg = not is_riff_wave(head)
+        if not use_ffmpeg:
             if args.audio_source:
                 print(
                     "note: --audio_source ignored for wav input "
@@ -395,11 +420,17 @@ def _main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
             rc = run_wav(
-                args.filename, "", start_seconds=args.start_seconds
+                args.filename, "", start_seconds=args.start_seconds,
+                can_fall_back=True,
             )
-            if rc:
+            if rc is None:
+                # unsupported wav codec (MS ADPCM, mp3-in-wav, ...): the
+                # reference decodes every container via spawned ffmpeg
+                # (vadc.c:531-608) — a file can be reopened, so retry there
+                use_ffmpeg = True
+            elif rc:
                 return rc
-        else:
+        if use_ffmpeg:
             source = FFmpegSource(
                 args.filename,
                 audio_source=args.audio_source,
@@ -423,7 +454,17 @@ def _main(argv: list[str] | None = None) -> int:
         # `vadc < file.wav` and `cat file.wav | vadc` just work
         head = sys.stdin.buffer.read(12)
         if is_riff_wave(head):
-            rc = run_wav(PrependStream(head, sys.stdin.buffer), " on stdin")
+            if args.audio_source:
+                print(
+                    "note: --audio_source ignored for wav input "
+                    "(single audio stream)",
+                    file=sys.stderr,
+                )
+            rc = run_wav(
+                PrependStream(head, sys.stdin.buffer),
+                " on stdin",
+                start_seconds=args.start_seconds,
+            )
             if rc:
                 return rc
         else:
@@ -433,7 +474,9 @@ def _main(argv: list[str] | None = None) -> int:
         for s, e in segmenter.finish():
             emit(s, e)
     stats.print_line(final=True)
-    return 0
+    # a latched mid-stream failure (decode error, ffmpeg nonzero exit) exits
+    # nonzero like the open-time failures; the clean EndOfFile stays 0
+    return 1 if stream_failed else 0
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from vadc_tpu.models import silero_v31, silero_v4, silero_v5
@@ -351,7 +352,9 @@ class MinibatchRunner:
             probs, self.h, self.c, self.context = self._fwd(
                 self.params, batch, self.h, self.c, self.context
             )
-            probs_out.extend(float(p) for p in probs)
+            # one bulk device->host transfer; element-wise float(p) would
+            # sync per probability (up to batch_size syncs per window)
+            probs_out.extend(np.asarray(probs).tolist())
         # A short final batch is zero-padded up to batch_size; the padded
         # entries advance LSTM state (reference stale-probability semantics,
         # vadc.c:88-99) but are NOT probabilities of real chunks — never

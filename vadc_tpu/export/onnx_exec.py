@@ -30,15 +30,17 @@ import numpy as np
 from vadc_tpu.export.onnx_extract import OnnxGraph, OnnxNode, parse_model
 
 
-class UnsupportedOnnxOp(NotImplementedError):
-    pass
-
-
 class OnnxExecError(ValueError):
     """One-line diagnosis of a graph-execution failure: which node, which
     op, and what went wrong — never a bare numpy/KeyError traceback.
     Mirrors the loud single-line failure style of the reference's ORT
     error macro (onnx_helpers.h:5-14)."""
+
+
+class UnsupportedOnnxOp(OnnxExecError, NotImplementedError):
+    """Also an OnnxExecError (ValueError) so the CLI's one-line error
+    handler catches it — a re-exported graph with an op outside the
+    implemented set must diagnose, never traceback mid-stream."""
 
 
 _CAST_DTYPES = {

@@ -379,7 +379,11 @@ def read_file_s16(path, target_rate: int = 16000) -> np.ndarray:
         head = fh.read(12)
     if is_riff_wave(head):
         with WavSource(str(path), target_rate=target_rate) as src:
-            return np.frombuffer(src.read(-1), "<i2")
+            raw = src.read(-1)
+        # the mono-16k passthrough branch is a pure byte copy, so an
+        # odd-length (truncated) data chunk must be frame-trimmed here
+        # like the raw branch below, or frombuffer raises
+        return np.frombuffer(raw[: len(raw) - len(raw) % 2], "<i2")
     with open(path, "rb") as fh:
         raw = fh.read()
     return np.frombuffer(raw[: len(raw) - len(raw) % 2], "<i2")

@@ -135,6 +135,13 @@ class _V48k:
     init_state = staticmethod(init_state)
 
     @staticmethod
+    def encode(params, audio):
+        # the chunk-blocked scan (engine/runner._scan_tblock) resolves
+        # `module.encode`; without this the 8 kHz branch would fall back
+        # to the module-level encode's 16 kHz stage-3 stride
+        return encode(params, audio, sample_rate=8000)
+
+    @staticmethod
     def forward(params, audio, h, c):
         feats = encode(params, audio, sample_rate=8000)
         out, hn, cn = F.lstm(feats, h, c, params["lstm_w"], params["lstm_b"])
