@@ -170,3 +170,25 @@ def test_cut_speech_samples_slices_at_model_rate():
     audio = np.concatenate([sil, _speechlike(2.0, sr=8000), sil])
     kept = api.cut_speech_samples(audio, model=str(model))
     assert 1.7 * 8000 < len(kept) < 2.9 * 8000, len(kept)
+
+
+def test_stream_segments_8k_time_base():
+    """8 kHz families: the generator's segment clock must run on the
+    model's sample rate (regression: SegmenterConfig was built without
+    sample_rate, halving every timestamp and doubling the ms->chunk
+    thresholds). The generator must agree with detect_speech_samples,
+    which always had the correct rate."""
+    import io
+    from pathlib import Path
+
+    from vadc_tpu.io.pcm import f32_to_s16le, s16le_to_f32
+
+    model = str(Path("vadc_tpu/data/silero_v4_8k.testtensor"))
+    sil = (np.random.default_rng(0).normal(size=8000) * 0.001).astype(np.float32)
+    pcm = f32_to_s16le(np.concatenate([sil, _speechlike(2.0, sr=8000), sil]))
+    segs = list(api.stream_segments(io.BytesIO(pcm), model=model))
+    want = api.detect_speech_samples(s16le_to_f32(pcm), model=model)
+    assert len(segs) == len(want) == 1
+    assert segs[0] == pytest.approx(want[0], abs=1e-6)
+    start, end = segs[0]
+    assert 0.5 < start < 1.6 and 2.4 < end < 3.7, segs

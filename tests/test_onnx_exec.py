@@ -414,3 +414,57 @@ def test_exec_runner_honors_sample_rate():
     assert r8.chunk_samples <= 768
     r16 = OnnxExecRunner(path, chunk_samples=1536)
     assert r16.module.SAMPLE_RATE == 16000
+
+
+class TestTypedTensorStorage:
+    """TensorProto initializers stored in typed fields (int32_data,
+    double_data, uint64_data) instead of raw_data — a re-exported model
+    using typed storage must not silently lose its constants (regression:
+    these fields parsed to an empty array and the tensor vanished)."""
+
+    @staticmethod
+    def _varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def _tensor(self, dims, dtype_code, field, payload, name=b"t"):
+        v = self._varint
+        msg = b"".join(v((1 << 3) | 0) + v(d) for d in dims)
+        msg += v((2 << 3) | 0) + v(dtype_code)
+        msg += v((8 << 3) | 2) + v(len(name)) + name
+        msg += v((field << 3) | 2) + v(len(payload)) + payload
+        return msg
+
+    def test_int32_data(self):
+        from vadc_tpu.export.onnx_extract import _parse_tensor
+
+        payload = b"".join(self._varint(x) for x in (0, 1, 2, 300))
+        name, arr = _parse_tensor(
+            memoryview(self._tensor((2, 2), 6, 5, payload))
+        )
+        assert name == "t" and arr.dtype == np.int32
+        np.testing.assert_array_equal(arr, [[0, 1], [2, 300]])
+
+    def test_int32_data_carries_int8(self):
+        # int32_data is the CONTAINER for int8 tensors; declared dtype wins
+        from vadc_tpu.export.onnx_extract import _parse_tensor
+
+        payload = b"".join(self._varint(x) for x in (1, 127))
+        _, arr = _parse_tensor(memoryview(self._tensor((2,), 3, 5, payload)))
+        assert arr.dtype == np.int8
+        np.testing.assert_array_equal(arr, [1, 127])
+
+    def test_double_data(self):
+        import struct
+
+        from vadc_tpu.export.onnx_extract import _parse_tensor
+
+        payload = struct.pack("<3d", 0.5, -1.25, 3.0)
+        _, arr = _parse_tensor(memoryview(self._tensor((3,), 11, 10, payload)))
+        assert arr.dtype == np.float64
+        np.testing.assert_array_equal(arr, [0.5, -1.25, 3.0])

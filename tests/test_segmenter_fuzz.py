@@ -122,3 +122,34 @@ def test_checkpoint_resume_equivalence_fuzz():
             out.extend(second.feed(float(p)))
         out.extend(second.finish())
         assert out == straight, f"trial {trial} cut={cut} cfg={cfg}"
+
+
+@pytest.mark.parametrize("backend", ["device", "native"])
+def test_padded_grid_matches_scalar_on_valid_prefix(backend):
+    """Zero-padded batch grids: finish(valid_chunks) must reproduce the
+    scalar segmenter fed ONLY each stream's real prefix. Regression: a
+    close confirmed by padding chunks used the mid-stream close rules
+    (end=temp_end, >= length test) instead of the reference's EOF snap
+    (end=last_chunk, strict >), emitting spurious or shortened segments."""
+    if backend == "native" and not native.available():
+        pytest.skip("native kernel unavailable")
+    rng = np.random.default_rng(77)
+    for trial in range(N_CONFIGS):
+        cfg = random_config(rng)
+        t_grid = 120
+        probs = boundary_probs(rng, cfg, N_STREAMS, t_grid)
+        valid = rng.integers(1, t_grid + 1, size=N_STREAMS)
+        padded = probs.copy()
+        for i in range(N_STREAMS):
+            # ADVERSARIAL padding (not the benign near-zero model output on
+            # zero audio): the masking must make pad chunks invisible to
+            # the FSM no matter their value
+            padded[i, valid[i]:] = rng.uniform(0, 1, t_grid - valid[i])
+        host = [
+            segment_probabilities(probs[i, : valid[i]], cfg)
+            for i in range(N_STREAMS)
+        ]
+        seg = BatchSegmenter(cfg, N_STREAMS, backend=backend, valid_chunks=valid)
+        seg.feed(padded)
+        got = seg.finish(valid_chunks=valid)
+        _assert_same(got, host, f"{backend} padded trial {trial} cfg={cfg}")

@@ -64,11 +64,17 @@ def speech_probabilities(
     n_chunks = -(-len(samples) // window)
     if n_chunks == 0:
         return np.zeros(0, np.float32)
-    padded = np.zeros(n_chunks * window, np.float32)
+    # bucket the scan length to the next power of two: the scan executable
+    # is shape-specialized, so a corpus of arbitrary lengths would compile
+    # one XLA program per distinct length (first TPU compile ~10 s); the
+    # padded tail chunks are causal no-ops for the returned prefix and are
+    # discarded together with the final state
+    n_padded = 1 << (n_chunks - 1).bit_length()
+    padded = np.zeros(n_padded * window, np.float32)
     padded[: len(samples)] = samples
-    chunks = jnp.asarray(padded.reshape(1, n_chunks, window))
+    chunks = jnp.asarray(padded.reshape(1, n_padded, window))
     probs, _ = runner.scan(chunks, runner.init_state(1))
-    return np.asarray(probs[0])
+    return np.asarray(probs[0, :n_chunks])
 
 
 def detect_speech_samples(
@@ -117,8 +123,9 @@ def stream_segments(
     speech_pad_ms: float = 30.0,
 ):
     """Incrementally yield (start_s, end_s) segments from a binary stream of
-    s16le 16 kHz mono PCM — the generator form of the CLI loop, for library
-    users consuming live pipes/sockets."""
+    s16le mono PCM at the model's sample rate (16 kHz; 8 kHz for the _8k
+    families) — the generator form of the CLI loop, for library users
+    consuming live pipes/sockets."""
     from vadc_tpu.cli.main import clamp_sequence_count, resolve_weights_path, WINDOW_CHUNKS
     from vadc_tpu.cli.segmenter import Segmenter
     from vadc_tpu.engine.runner import MinibatchRunner
@@ -133,6 +140,9 @@ def stream_segments(
                              chunk_samples=seq, precision=precision)
     config = SegmenterConfig.from_ms(
         chunk_samples=seq,
+        # 8 kHz families: chunk seconds and ms->chunk thresholds are on
+        # the model's time base, not 16 kHz (the CLI passes this too)
+        sample_rate=getattr(runner.module, "SAMPLE_RATE", 16000),
         min_silence_ms=min_silence_ms,
         min_speech_ms=min_speech_ms,
         threshold=threshold,
@@ -182,26 +192,9 @@ def detect_speech(
     """Speech segments for any media file (.wav decoded natively with
     downmix/resample; anything else via ffmpeg)."""
     from vadc_tpu.io.pcm import s16le_to_f32
-    from vadc_tpu.io.wav import WavSource, is_riff_wave
+    from vadc_tpu.io.wav import WavSource, is_riff_wave, sniff_media_head
 
-    import os
-    import stat
-
-    # magic-sniff only regular files: a FIFO/process-substitution input
-    # must reach ffmpeg with its bytes untouched (a probe read would
-    # consume them; reference behavior: the path goes straight to ffmpeg).
-    # Non-path inputs ffmpeg speaks (https://, rtmp://, pipe:, ...) fail
-    # os.stat and fall through to ffmpeg with the string untouched.
-    import re
-
-    head = b""
-    try:
-        if stat.S_ISREG(os.stat(filename).st_mode):
-            with open(filename, "rb") as probe:
-                head = probe.read(12)
-    except OSError:
-        if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(filename)):
-            raise
+    _is_regular, head = sniff_media_head(filename)
     # decode at the MODEL's rate (8 kHz families take 8 kHz input)
     runner, _ = _get_runner(
         kwargs.get("model"),

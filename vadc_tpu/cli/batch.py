@@ -161,7 +161,10 @@ def _main(argv: list[str] | None = None) -> int:
     # slabs have been dispatched, so the readback sync overlaps with the
     # next slabs' transfer + compute instead of serializing the loop.
     segmenter = BatchSegmenter(
-        seg_config, n_streams, backend="device", pending_depth=2
+        seg_config, n_streams, backend="device", pending_depth=2,
+        # mask each file's zero-padded tail out of the FSM: pad chunks
+        # must not confirm closes the scalar segmenter would EOF-snap
+        valid_chunks=list(valid) + [0] * (n_streams - n_files),
     )
 
     # s16 -> f32 on device (reference vadc.c:873-901 does this on the host;

@@ -386,31 +386,15 @@ def _main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.filename:
-        import os
-        import stat as stat_mod
+        from vadc_tpu.io.wav import sniff_media_head
 
-        import re
-
-        # magic-sniff only regular files: a FIFO/process-substitution
-        # input must reach ffmpeg with its bytes untouched (a probe read
-        # would consume them)
         try:
-            is_regular = stat_mod.S_ISREG(os.stat(args.filename).st_mode)
-            head = b""
-            if is_regular:
-                with open(args.filename, "rb") as probe:
-                    head = probe.read(12)
+            _is_regular, head = sniff_media_head(args.filename)
         except OSError as e:
-            # A non-path input (https://, rtmp://, pipe:, concat:, ...)
-            # must still reach ffmpeg untouched — it speaks those
-            # protocols even though os.stat cannot.
-            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", args.filename):
-                is_regular, head = False, b""
-            else:
-                # the reference latches CantOpenFile for an unreadable
-                # input (vadc.c:404-414); same kind, same stderr discipline
-                print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
-                return 1
+            # the reference latches CantOpenFile for an unreadable input
+            # (vadc.c:404-414); same kind, same stderr discipline
+            print(f"Error: BS_Error_CantOpenFile ({e})", file=sys.stderr)
+            return 1
         use_ffmpeg = not is_riff_wave(head)
         if not use_ffmpeg:
             if args.audio_source:

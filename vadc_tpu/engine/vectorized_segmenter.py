@@ -45,10 +45,15 @@ def fsm_step(
     neg_threshold: float,
     min_silence_chunks: int,
     min_speech_chunks: int,
+    active: jax.Array | None = None,
 ) -> tuple[FsmState, tuple[jax.Array, jax.Array, jax.Array]]:
     """Advance every stream's FSM one chunk.
 
-    prob: [B]. Returns (new state, (closed [B] bool, seg_start [B], seg_end [B])).
+    prob: [B]. active (optional bool [B]): streams marked False keep their
+    state untouched and emit nothing — zero-padded grid chunks must be
+    invisible to the FSM (a pad chunk advancing it can close a segment the
+    scalar segmenter, fed only the real prefix, would EOF-snap instead).
+    Returns (new state, (closed [B] bool, seg_start [B], seg_end [B])).
     """
     idx = state.chunk_index
     above = prob >= threshold
@@ -76,6 +81,12 @@ def fsm_step(
     speech_start = jnp.where(closing, 0, speech_start)
     temp_end = jnp.where(closing, 0, temp_end)
 
+    if active is not None:
+        triggered = jnp.where(active, triggered, state.triggered)
+        speech_start = jnp.where(active, speech_start, state.speech_start)
+        temp_end = jnp.where(active, temp_end, state.temp_end)
+        closed = closed & active
+
     return (
         FsmState(triggered, speech_start, temp_end, idx + 1),
         (closed, seg_start, seg_end),
@@ -90,9 +101,14 @@ def segment_batch(
     min_silence_chunks: int,
     min_speech_chunks: int,
     state: FsmState | None = None,
+    valid_chunks: jax.Array | None = None,
 ) -> tuple[FsmState, tuple[jax.Array, jax.Array, jax.Array]]:
     """Run the FSM over probs [B, T].
 
+    valid_chunks (optional int32 [B]): each stream's real chunk count in a
+    zero-padded grid — chunks at global index >= valid are masked out of
+    the FSM (state freezes at the stream's true EOF, exactly what
+    BatchSegmenter.finish's EOF snap needs).
     Returns (final state, (closed [T, B], seg_start [T, B], seg_end [T, B])).
     """
     if state is None:
@@ -106,6 +122,7 @@ def segment_batch(
             neg_threshold=neg_threshold,
             min_silence_chunks=min_silence_chunks,
             min_speech_chunks=min_speech_chunks,
+            active=None if valid_chunks is None else st.chunk_index < valid_chunks,
         )
 
     return lax.scan(body, state, probs.T)
@@ -128,13 +145,25 @@ class BatchSegmenter:
         *,
         backend: str = "auto",
         pending_depth: int = 0,
+        valid_chunks=None,
     ):
         from collections import deque
+
+        import numpy as np
 
         from vadc_tpu import native
 
         self.config = config
         self.n_streams = n_streams
+        # per-stream real chunk counts for zero-padded grids: chunks at
+        # grid index >= valid are masked OUT of the FSM (state freezes at
+        # each stream's true EOF). Without this a pad chunk can confirm a
+        # tentative close that the scalar segmenter — fed only the real
+        # prefix — would instead resolve with the reference's EOF snap.
+        self._valid = (
+            None if valid_chunks is None else np.asarray(valid_chunks, np.int64)
+        )
+        self._fed_chunks = 0  # global grid offset of the next slab
         self._raw: list[list[tuple[int, int]]] = [[] for _ in range(n_streams)]
         # pending_depth > 0 defers the device->host event readback by that
         # many feed() calls: feed only *dispatches* (async under JAX), and
@@ -173,7 +202,8 @@ class BatchSegmenter:
         if self._native is not None:
             # defer only the device->host probability pull; the C++ FSM
             # must still see slabs in order, so draining is FIFO
-            self._pending.append(probs)
+            self._pending.append((probs, self._fed_chunks))
+            self._fed_chunks += probs.shape[1]
         else:
             cfg = self.config
             self.state, events = self._step(
@@ -183,7 +213,11 @@ class BatchSegmenter:
                 min_silence_chunks=cfg.min_silence_chunks,
                 min_speech_chunks=cfg.min_speech_chunks,
                 state=self.state,
+                valid_chunks=(
+                    None if self._valid is None else jnp.asarray(self._valid)
+                ),
             )
+            self._fed_chunks += probs.shape[1]
             self._pending.append(events)  # device arrays, no sync yet
         while len(self._pending) > self.pending_depth:
             self._drain_one()
@@ -193,8 +227,29 @@ class BatchSegmenter:
 
         entry = self._pending.popleft()
         if self._native is not None:
-            for i, start, end in self._native.feed(np.asarray(entry, np.float32)):
-                self._raw[i].append((start, end))
+            probs, offset = entry
+            probs = np.asarray(probs, np.float32)
+            t = probs.shape[1]
+            if self._valid is None:
+                subslabs = [(0, t, None)]
+            else:
+                # the native active mask is per-stream per-FEED: split the
+                # slab at every stream EOF it contains, so within each
+                # sub-slab every stream is uniformly active or frozen.
+                # Total extra feeds across a whole run are bounded by the
+                # number of distinct stream lengths.
+                cuts = np.unique(np.clip(self._valid - offset, 0, t))
+                cuts = [int(c) for c in cuts if 0 < c < t]
+                bounds = [0, *cuts, t]
+                subslabs = [
+                    (a, b, (self._valid > offset + a).astype(np.uint8))
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ]
+            for a, b, active in subslabs:
+                for i, start, end in self._native.feed(
+                    probs[:, a:b], active=active
+                ):
+                    self._raw[i].append((start, end))
             return
         closed, seg_start, seg_end = entry
         closed = np.asarray(closed)  # [T, B] — the sync point
@@ -224,14 +279,32 @@ class BatchSegmenter:
             open_start = np.asarray(self.state.speech_start)
             total_chunks = int(self.state.chunk_index)
         if valid_chunks is None:
-            valid_chunks = [total_chunks] * self.n_streams
+            valid_chunks = (
+                self._valid
+                if self._valid is not None
+                else [total_chunks] * self.n_streams
+            )
 
+        if valid_chunks is not None and self._valid is not None:
+            mismatched = [
+                (i, int(v), int(w))
+                for i, (v, w) in enumerate(zip(valid_chunks, self._valid))
+                if int(v) != int(w)
+            ]
+            if mismatched:
+                raise ValueError(
+                    "finish(valid_chunks=...) disagrees with the "
+                    f"constructor's valid_chunks at streams {mismatched[:4]}"
+                )
         out: list[list[tuple[float, float]]] = []
         spc = cfg.seconds_per_chunk
         pad = cfg.speech_pad_s
         for i in range(self.n_streams):
             valid = int(valid_chunks[i])
             last_chunk = valid - 1
+            # with constructor valid_chunks the FSM never saw pad chunks,
+            # so raw events already lie within real data; the filter/clamp
+            # stays as a guard for legacy callers that pad without masking
             raw = [
                 (s, min(e, last_chunk))
                 for s, e in self._raw[i]

@@ -113,13 +113,37 @@ def _parse_tensor(buf: memoryview) -> tuple[str, np.ndarray] | None:
                     v, pos = _read_varint(val, pos)
                     typed.append(_signed(v))
             typed_kind = np.dtype("<i8")
+        elif field == 5:  # int32_data (also carries int8/16/uint8/16/bool)
+            if wire == 0:
+                typed.append(_signed(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    typed.append(_signed(v))
+            typed_kind = np.dtype("<i4")
+        elif field == 10:  # double_data (packed or repeated fixed64)
+            data = bytes(val) if wire == 2 else val
+            typed.extend(np.frombuffer(data, dtype="<f8"))
+            typed_kind = np.dtype("<f8")
+        elif field == 11:  # uint64_data (packed varints or single varint)
+            if wire == 0:
+                typed.append(val)
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    typed.append(v)
+            typed_kind = np.dtype("<u8")
     dtype = _DTYPES.get(dtype_code)
     if dtype is None:
         return None
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype)
     elif typed_kind is not None:
-        arr = np.asarray(typed, dtype=typed_kind)
+        # typed storage is a CONTAINER (int32_data also carries
+        # int8/16/uint8/16/bool) — the declared data_type is the dtype
+        arr = np.asarray(typed, dtype=typed_kind).astype(dtype, copy=False)
     else:
         arr = np.zeros(0, dtype=dtype)
     try:

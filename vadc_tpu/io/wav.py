@@ -189,6 +189,33 @@ def is_riff_wave(head: bytes) -> bool:
     return len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE"
 
 
+def sniff_media_head(path) -> tuple[bool, bytes]:
+    """(is_regular_file, first-12-bytes) for a media input path — the one
+    shared magic-sniff policy for the CLI and the Python API.
+
+    Only REGULAR files are probed: a FIFO/process-substitution input must
+    reach ffmpeg with its bytes untouched (a probe read would consume
+    them), and a URL-scheme pseudo-path ffmpeg speaks (https://, rtmp://,
+    pipe:, concat:, ...) fails os.stat but returns (False, b"") so it
+    falls through to ffmpeg verbatim. Raises OSError for an unreadable
+    real path (reference: CantOpenFile, vadc.c:404-414)."""
+    import os
+    import re
+    import stat as stat_mod
+
+    try:
+        is_regular = stat_mod.S_ISREG(os.stat(path).st_mode)
+        head = b""
+        if is_regular:
+            with open(path, "rb") as probe:
+                head = probe.read(12)
+    except OSError:
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", str(path)):
+            return False, b""
+        raise
+    return is_regular, head
+
+
 def read_wav_header(stream: BinaryIO) -> WavFormat:
     """Parse the RIFF chunk list up to and including the 'data' chunk
     header, leaving the stream positioned at the first audio byte.

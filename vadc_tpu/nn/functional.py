@@ -332,7 +332,13 @@ def adaptive_audio_normalization(spect: jax.Array) -> jax.Array:
     mean = jnp.mean(spect_e, axis=1, keepdims=True)  # [B, 1, F]
     mean_padded = reflect_pad_last(mean, 3, 3)
     taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
-    smoothed = _frame(mean_padded[:, 0, :], 7, 1) @ taps  # [B, F]
+    # precision matters: a bare `@` contracts at the backend DEFAULT,
+    # which on TPU rounds fp32 operands to bf16 — spect_e reaches ~18, so
+    # the smoothed means (and the global mean_mean shift they feed) would
+    # pick up O(1e-2) error, breaching the faithful tier's 1e-4 contract
+    smoothed = jnp.matmul(
+        _frame(mean_padded[:, 0, :], 7, 1), taps, precision=_PRECISION
+    )  # [B, F]
     mean_mean = jnp.mean(smoothed, axis=-1)[:, None, None]  # [B, 1, 1]
     return spect_e - mean_mean
 
@@ -741,7 +747,9 @@ def adaptive_audio_normalization_nlc(spect: jax.Array) -> jax.Array:
     mean = jnp.mean(spect_e, axis=-1)  # over channels -> [B, F]
     mean_padded = reflect_pad_last(mean, 3, 3)
     taps = jnp.asarray(ADAPTIVE_NORM_FILTER, dtype=spect.dtype)
-    smoothed = _frame(mean_padded, 7, 1) @ taps  # [B, F]
+    # precision= for the same reason as the NCL variant above: DEFAULT
+    # would contract these fp32 values (range ~18) at bf16 on TPU
+    smoothed = jnp.matmul(_frame(mean_padded, 7, 1), taps, precision=_PRECISION)
     mean_mean = jnp.mean(smoothed, axis=-1)[:, None, None]
     return (spect_e - mean_mean).astype(_COMPUTE_DTYPE)
 
