@@ -468,3 +468,45 @@ class TestTypedTensorStorage:
         _, arr = _parse_tensor(memoryview(self._tensor((3,), 11, 10, payload)))
         assert arr.dtype == np.float64
         np.testing.assert_array_equal(arr, [0.5, -1.25, 3.0])
+
+
+def test_exec_runner_v5_fixed_sequence_excludes_context(tmp_path, monkeypatch):
+    """A v5 graph that DECLARES a fixed input length declares it context-
+    INCLUSIVE (the reference feeds 512+64=576 per chunk, vadc.c:117-140):
+    the runner's fresh-samples-per-chunk must be declared minus context
+    (regression: chunk_samples was set to the full 576, so _run_chunk fed
+    64+576=640 and consumed audio at the wrong cadence)."""
+    from vadc_tpu.engine import onnx_backend
+    from vadc_tpu.engine.onnx_backend import OnnxExecRunner
+    from vadc_tpu.export.onnx_build import build_silero_v5_onnx
+    from vadc_tpu.export.onnx_exec import OnnxExecError
+    from vadc_tpu.models.synthetic import random_v5_8k_archive, random_v5_archive
+
+    path = tmp_path / "v5_fixed.onnx"
+    build_silero_v5_onnx(
+        path, dict(random_v5_archive(9)), dict(random_v5_8k_archive(10))
+    )
+    real = onnx_backend.introspect
+
+    def declare(seq):
+        def fixed(model):
+            return real(model)._replace(sequence=seq)
+        return fixed
+
+    monkeypatch.setattr(onnx_backend, "introspect", declare(576))
+    r = OnnxExecRunner(path)
+    assert r.chunk_samples == 512 and r.context_samples == 64
+    # one window: each chunk's graph input is the declared 576 samples
+    probs = r.process_window(np.zeros(512 * 3, np.float32))
+    assert probs.shape == (3,)
+
+    # 8 kHz branch: declared 288 = 256 + 32 context
+    monkeypatch.setattr(onnx_backend, "introspect", declare(288))
+    r8 = OnnxExecRunner(path, sample_rate=8000)
+    assert r8.chunk_samples == 256 and r8.context_samples == 32
+
+    # degenerate declaration (not longer than the context) is a one-line
+    # diagnosis, not a zero/negative chunk size
+    monkeypatch.setattr(onnx_backend, "introspect", declare(64))
+    with pytest.raises(OnnxExecError, match="context prefix"):
+        OnnxExecRunner(path)

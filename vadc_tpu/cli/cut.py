@@ -54,21 +54,22 @@ def main(argv: list[str] | None = None) -> int:
     import numpy as np
 
     from vadc_tpu import api
-    from vadc_tpu.cli.main import resolve_weights_path
     from vadc_tpu.io.wav import read_file_s16, write_wav
-    from vadc_tpu.models.weights import load_params
     from vadc_tpu.runtime import enable_persistent_compilation_cache
 
-    # BEFORE touching any jax array: load_params device-puts weights, which
+    # BEFORE touching any jax array: loading weights device-puts them, which
     # initializes (and latches) the backend — honor JAX_PLATFORMS first
     enable_persistent_compilation_cache()
 
     try:
-        family, _ = load_params(resolve_weights_path(args.model))
+        # api._get_runner caches the loaded+device-put weights, so the
+        # detect_speech_samples call below reuses this runner instead of
+        # loading the archive a second time
+        runner, _seq = api._get_runner(args.model, 1536)
     except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
-    model_sr = 8000 if family.endswith("_8k") else 16000
+    model_sr = getattr(runner.module, "SAMPLE_RATE", 16000)
 
     # fail fast on an unwritable output BEFORE the (expensive) inference;
     # append mode probes writability without truncating an existing file

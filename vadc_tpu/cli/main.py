@@ -124,23 +124,9 @@ def resolve_weights_path(model_arg: str | None) -> Path:
     )
 
 
-def clamp_sequence_count(family: str, requested: int) -> int:
-    """Model-imposed chunk-size contract (reference vadc.h:85-94, clamp
-    vadc.c:742-754, README:180-183): v3/v4 chunk sizes are MULTIPLES OF 256
-    in [512, 1536] (the model strides by 256-sample slices) — a request like
-    1000 is rounded to the nearest valid operating point (1024), never run
-    as-is; 8 kHz branch families use half-rate slices (128) and ranges; v5
-    is fixed at 512 (+64 carried context), v5 8 kHz at 256 (+32)."""
-    if family == "v5":
-        return 512
-    if family == "v5_8k":
-        return 256
-    if family == "v4_8k":
-        slice_samples, lo, hi = 128, 256, 768
-    else:
-        slice_samples, lo, hi = 256, 512, 1536
-    rounded = int(requested / slice_samples + 0.5) * slice_samples
-    return max(lo, min(hi, rounded))
+# model-contract logic lives with the model metadata; re-exported here for
+# the CLI's many existing importers
+from vadc_tpu.models.weights import clamp_sequence_count  # noqa: E402,F401
 
 
 def main(argv: list[str] | None = None) -> int:

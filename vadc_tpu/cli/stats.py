@@ -43,7 +43,7 @@ class Stats:
         millis = int((total - hours * 3600 - minutes * 60 - seconds) * 1000)
         end = "\n" if final else "\r"
         sys.stderr.write(
-            f"time={hours:02d}:{minutes:02d}:{seconds:02d}.{millis:04d}"
+            f"time={hours:02d}:{minutes:02d}:{seconds:02d}.{millis:03d}"
             f" {self.total_speech:7.2f} speech ({percent:5.1f}%),"
             f" {total:5.1f} / {wall:5.1f} ({ratio:5.1f}x){end}"
         )

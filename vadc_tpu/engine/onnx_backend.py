@@ -113,20 +113,34 @@ class OnnxExecRunner:
         self.module.SAMPLE_RATE = sample_rate
         # v5-style models carry raw-audio context between chunks
         self.is_v5 = r.hidden == 128
+        context = (64 if sample_rate == 16000 else 32) if self.is_v5 else 0
         if r.sequence > 0:
-            self.chunk_samples = r.sequence
+            # a graph's declared input length INCLUDES the v5 context
+            # prefix (the reference feeds 512+64=576 per chunk,
+            # vadc.c:117-140, onnx_helpers.c:158-160) — the fresh samples
+            # consumed per chunk are the declared length minus the carried
+            # context, or _run_chunk would overfeed the declared shape and
+            # advance at the wrong cadence
+            self.chunk_samples = r.sequence - context
+            if self.chunk_samples <= 0:
+                from vadc_tpu.export.onnx_exec import OnnxExecError
+
+                raise OnnxExecError(
+                    f"declared sequence {r.sequence} is not longer than "
+                    f"the v5 context prefix ({context})"
+                )
         else:
             # dynamic graph: apply the introspected family's chunk contract
             # (v5 fixed 512/256, v3/v4 multiples of 256 in [512, 1536] —
             # vadc.h:85-94), not the caller's raw wish
-            from vadc_tpu.cli.main import clamp_sequence_count
+            from vadc_tpu.models.weights import clamp_sequence_count
 
             if self.is_v5:
                 family = "v5" if sample_rate == 16000 else "v5_8k"
             else:
                 family = "v3" if sample_rate == 16000 else "v4_8k"
             self.chunk_samples = clamp_sequence_count(family, chunk_samples)
-        self.context_samples = (64 if sample_rate == 16000 else 32) if self.is_v5 else 0
+        self.context_samples = context
         layers = 1 if self.is_v5 else 2
         self._h = np.zeros((layers, 1, r.hidden), np.float32)
         self._c = np.zeros((layers, 1, r.hidden), np.float32)

@@ -91,9 +91,12 @@ class ShardedStreamRunner:
         self._state_shardings = state_shardings
 
     def init_state(self, n_streams: int) -> StreamState:
-        assert n_streams % self.mesh.size == 0, (
-            f"n_streams {n_streams} must divide over {self.mesh.size} devices"
-        )
+        # ValueError, not assert: user-input validation must survive
+        # python -O (a bad count otherwise fails deep in XLA sharding)
+        if n_streams % self.mesh.size:
+            raise ValueError(
+                f"n_streams {n_streams} must divide over {self.mesh.size} devices"
+            )
         mod = self.module
         h, c = mod.init_state(n_streams)
         ctx = (

@@ -24,7 +24,9 @@ def ffmpeg_command(
         "-map", f"0:a:{audio_source}",
         "-vn", "-sn", "-dn",
         "-ac", "1",
-        "-ar", f"{sample_rate // 1000}k",
+        # exact Hz, not the reference's "16k" shorthand (vadc.c:543):
+        # f"{sr // 1000}k" silently truncates non-multiple-of-1000 rates
+        "-ar", str(sample_rate),
         "-f", "s16le",
         "-",
     ]

@@ -110,11 +110,15 @@ def utterance_track(
     rng = np.random.default_rng(seed)
     pieces: list[np.ndarray] = []
     truth: list[tuple[float, float]] = []
-    cursor = 0.0
+    # the cursor advances by the ACTUAL sample count of each appended piece
+    # (each generator truncates to int(duration*sr)); accumulating float
+    # durations instead would drift the "exact" ground truth by up to one
+    # sample per piece (~20 samples over a default track)
+    cursor = 0
     for i in range(n_utterances):
         gap = float(rng.uniform(min_gap_s, max_gap_s))
         pieces.append(silence(gap, sr, noise=noise, seed=seed * 1000 + i))
-        cursor += gap
+        cursor += len(pieces[-1])
         dur = float(rng.uniform(min_speech_s, max_speech_s))
         f0 = float(rng.uniform(*f0_range))
         amp = float(rng.uniform(*amplitude_range))
@@ -122,8 +126,8 @@ def utterance_track(
             voiced(dur, f0, sr, amplitude=amp, phase_seed=seed * 1000 + i,
                    breath=breath)
         )
-        truth.append((cursor, cursor + dur))
-        cursor += dur
+        truth.append((cursor / sr, (cursor + len(pieces[-1])) / sr))
+        cursor += len(pieces[-1])
     tail = float(rng.uniform(min_gap_s, max_gap_s))
     pieces.append(silence(tail, sr, noise=noise, seed=seed * 1000 + n_utterances))
     return np.concatenate(pieces), truth

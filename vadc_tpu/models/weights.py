@@ -101,6 +101,28 @@ def silero_v31_params(tensors: dict[str, np.ndarray]) -> dict:
     return params
 
 
+def clamp_sequence_count(family: str, requested: int) -> int:
+    """Model-imposed chunk-size contract (reference vadc.h:85-94, clamp
+    vadc.c:742-754, README:180-183): v3/v4 chunk sizes are MULTIPLES OF 256
+    in [512, 1536] (the model strides by 256-sample slices) — a request like
+    1000 is rounded to the nearest valid operating point (1024), never run
+    as-is; 8 kHz branch families use half-rate slices (128) and ranges; v5
+    is fixed at 512 (+64 carried context), v5 8 kHz at 256 (+32).
+
+    Lives with the model metadata (not the CLI): the engine, server, and
+    Python API all enforce the same contract."""
+    if family == "v5":
+        return 512
+    if family == "v5_8k":
+        return 256
+    if family == "v4_8k":
+        slice_samples, lo, hi = 128, 256, 768
+    else:
+        slice_samples, lo, hi = 256, 512, 1536
+    rounded = int(requested / slice_samples + 0.5) * slice_samples
+    return max(lo, min(hi, rounded))
+
+
 def detect_model_family(tensors: dict[str, np.ndarray]) -> str:
     """Classify a weight archive as 'v3', 'v4', or 'v5'.
 

@@ -133,14 +133,25 @@ class StreamPool:
         self._pool = lib.vadc_pool_create(
             n_streams, chunk_samples, ring_chunks, reader_threads
         )
+        if not self._pool:
+            raise RuntimeError("vadc_pool_create failed")
         self._started = False
 
+    def _handle(self):
+        # use-after-close must be a catchable Python error, not a NULL
+        # pointer handed to C (which segfaults the whole process — e.g. an
+        # engine tick racing another thread's shutdown)
+        pool = self._pool
+        if not pool:
+            raise RuntimeError("StreamPool is closed")
+        return pool
+
     def add_fd(self, stream_idx: int, fd: int) -> None:
-        if self._lib.vadc_pool_add_fd(self._pool, stream_idx, fd):
+        if self._lib.vadc_pool_add_fd(self._handle(), stream_idx, fd):
             raise ValueError(f"bad stream index {stream_idx}")
 
     def start(self) -> None:
-        self._lib.vadc_pool_start(self._pool)
+        self._lib.vadc_pool_start(self._handle())
         self._started = True
 
     def gather(self) -> tuple[np.ndarray, np.ndarray, int]:
@@ -149,11 +160,11 @@ class StreamPool:
         (rows with 0 are untouched/stale)."""
         out = np.zeros((self.n_streams, self.chunk_samples), np.float32)
         ready = np.zeros(self.n_streams, np.uint8)
-        count = self._lib.vadc_pool_gather(self._pool, out, ready)
+        count = self._lib.vadc_pool_gather(self._handle(), out, ready)
         return out, ready, int(count)
 
     def stream_done(self, idx: int) -> bool:
-        return bool(self._lib.vadc_pool_stream_done(self._pool, idx))
+        return bool(self._lib.vadc_pool_stream_done(self._handle(), idx))
 
     def close(self) -> None:
         if self._pool:
