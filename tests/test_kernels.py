@@ -238,3 +238,40 @@ def test_stft_mag_kernel_parity_interpret(testdata):
             block_streams=8,
         )
     assert_close(out, ref, 1e-5, "stft_mag kernel vs XLA")
+
+
+def test_fused3d_matches_model(testdata):
+    """The 3-D whole-encoder kernel (now the forward_pallas default when
+    the batch divides into its stream blocks) must reproduce the XLA
+    forward, including with carried state."""
+    from vadc_tpu.kernels.silero_v31_fused3d import forward_fused3d
+    from vadc_tpu.models import silero_v31
+    from vadc_tpu.models.weights import silero_v31_params
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    rng = np.random.default_rng(13)
+    h, c = silero_v31.init_state(8)
+    hf, cf = h, c
+    for step in range(3):
+        audio = jnp.asarray(rng.normal(size=(8, 1536)).astype(np.float32) * 0.1)
+        p_ref, h, c = silero_v31.forward(params, audio, h, c)
+        p_f, hf, cf = forward_fused3d(params, audio, hf, cf, block_streams=4)
+        assert_close(p_f, p_ref, 1e-5, f"fused3d probs step {step}")
+        assert_close(hf, h, 1e-4, f"fused3d hn step {step}")
+        assert_close(cf, c, 1e-4, f"fused3d cn step {step}")
+
+
+def test_forward_pallas_selects_3d_when_batch_divides(testdata):
+    """forward_pallas: 3-D kernel for block-divisible batches, 2-D
+    fallback otherwise — both must agree with the XLA forward."""
+    from vadc_tpu.models import silero_v31
+    from vadc_tpu.models.weights import silero_v31_params
+
+    params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
+    rng = np.random.default_rng(14)
+    for batch in (8, 5):  # 8 -> fused3d (8 % 8 == 0); 5 -> fused2d path
+        audio = jnp.asarray(rng.normal(size=(batch, 1536)).astype(np.float32) * 0.1)
+        h, c = silero_v31.init_state(batch)
+        p_ref, *_ = silero_v31.forward(params, audio, h, c)
+        p_f, *_ = silero_v31.forward_pallas(params, audio, h, c)
+        assert_close(p_f, p_ref, 1e-5, f"forward_pallas batch {batch}")

@@ -192,6 +192,20 @@ def main() -> int:
         worst = max(worst, float(np.abs(np.asarray(p_f) - np.asarray(p_ref)).max()))
     check("fused2d_forward_state_carry", worst, 1e-5)
 
+    # ---- whole-model fused3d kernel (the forward_pallas default when the
+    # batch divides into its stream blocks), incl. state carry ----
+    from vadc_tpu.kernels.silero_v31_fused3d import forward_fused3d
+
+    hf, cf = h, c
+    hr, cr = h, c
+    worst = 0.0
+    for step in range(2):
+        a = jnp.asarray(rng.normal(size=(8, 1536)).astype(np.float32) * 0.1)
+        p_ref, hr, cr = silero_v31.forward(params, a, hr, cr)
+        p_f, hf, cf = forward_fused3d(params, a, hf, cf, block_streams=8)
+        worst = max(worst, float(np.abs(np.asarray(p_f) - np.asarray(p_ref)).max()))
+    check("fused3d_forward_state_carry", worst, 1e-5)
+
     # ---- fast-vs-faithful probability deviation ----
     from vadc_tpu.engine.runner import StreamRunner
 

@@ -125,22 +125,36 @@ def forward(
 def forward_pallas(
     params: dict, audio: jax.Array, h: jax.Array, c: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """forward with the encoder+LSTM+decoder fused into ONE Pallas kernel
-    (kernels/silero_v31_fused2d — the 2-D-only formulation the current
-    Mosaic toolchain compiles). STFT + adaptive norm stay in XLA. Numerics
-    match `forward` within fp32 accumulation order (probs ~1e-7).
+    """forward with the encoder+LSTM+decoder fused into ONE Pallas kernel.
+    STFT + adaptive norm stay in XLA. Numerics match `forward` at the
+    active tier (fast-tier kernel vs fast-tier XLA probs agree to ~2e-4
+    on-chip; faithful mode runs all dots at HIGHEST).
+
+    Kernel selection: the 3-D formulation (kernels/silero_v31_fused3d,
+    true batched SDPA, BLK=32) when the batch divides into its stream
+    blocks — measured round 4 at 0.094 ms/step vs 0.787 ms XLA fast at
+    batch 2048 after a Mosaic toolchain update reversed the round-3
+    result (5.5 ms; see docs/PERFORMANCE.md "fused3d reversal") — else
+    the 2-D formulation (silero_v31_fused2d) as before.
 
     Inherits bf16 fast-math from the active functional.fast_math() trace
-    context (the runner's fast_math flag). The kernel is written for fp32
-    activations, so the turbo tier's bf16-resident compute dtype is
+    context (the runner's fast_math flag). The kernels are written for
+    fp32 activations, so the turbo tier's bf16-resident compute dtype is
     narrowed back to the fast tier here (same DEFAULT matmul precision)."""
     from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
+    from vadc_tpu.kernels.silero_v31_fused3d import forward_fused3d
     from vadc_tpu.nn import functional as F
 
+    batch = audio.shape[0]
+    if batch % min(32, batch) == 0:
+        def fwd(p, a, hh, cc, *, fast):
+            return forward_fused3d(p, a, hh, cc, block_streams=32, fast=fast)
+    else:
+        fwd = forward_fused2d
     if F.compute_dtype() != jnp.float32:
         with F.precision_mode("fast"):
-            return forward_fused2d(params, audio, h, c, fast=True)
-    return forward_fused2d(params, audio, h, c, fast=F._PRECISION != F.HIGHEST)
+            return fwd(params, audio, h, c, fast=True)
+    return fwd(params, audio, h, c, fast=F._PRECISION != F.HIGHEST)
 
 
 def forward_minibatched(
