@@ -136,3 +136,41 @@ class TestDiffAgainstPrevious:
         (tmp_path / "BENCH_r03.json").write_text("{not json")
         monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
         assert bench.diff_against_previous({"a": 1.0}, lambda s: None) == {}
+
+    def test_truncated_tail_is_salvaged(self, bench, tmp_path, monkeypatch):
+        # BENCH_r04.json's real failure mode: parsed=null, tail starts
+        # mid-JSON. Flat pairs and "moved" entries' "now" values are both
+        # genuine that-round numbers and must be recovered.
+        tail = (
+            '1, "v5_fast_ms_per_chunk_step": 0.0594, "flagged": true, '
+            '"vs_previous_round": {"baseline_round": 3, "moved": '
+            '{"v3_pallas_ms_per_chunk_step": {"prev": 1.871, "now": 5.7689, '
+            '"rel": 2.083}}}}'
+        )
+        (tmp_path / "BENCH_r04.json").write_text(
+            json.dumps({"n": 4, "rc": 0, "tail": tail, "parsed": None})
+        )
+        monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+        out = bench.diff_against_previous(
+            {"v5_fast_ms_per_chunk_step": 0.08, "v3_pallas_ms_per_chunk_step": 1.9},
+            lambda s: None,
+        )
+        assert out["moved"]["v5_fast_ms_per_chunk_step"]["prev"] == 0.0594
+        assert out["moved"]["v3_pallas_ms_per_chunk_step"]["prev"] == 5.7689
+        assert "salvage" in out["baseline_source"]
+
+    def test_compact_artifact_falls_back_to_bench_full(
+        self, bench, tmp_path, monkeypatch
+    ):
+        # round 5+ prints a compact headline line (no "configs"); the full
+        # record lives in BENCH_full.json written by the same run
+        (tmp_path / "BENCH_r05.json").write_text(
+            json.dumps({"parsed": {"metric": "m", "value": 1.0}})
+        )
+        (tmp_path / "BENCH_full.json").write_text(
+            json.dumps({"configs": {"x": 1.0}, "run_label": "2026-08-19T12:00:00"})
+        )
+        monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+        out = bench.diff_against_previous({"x": 1.5}, lambda s: None)
+        assert out["moved"]["x"]["prev"] == 1.0
+        assert "BENCH_full.json" in out["baseline_source"]

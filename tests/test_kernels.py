@@ -241,9 +241,10 @@ def test_stft_mag_kernel_parity_interpret(testdata):
 
 
 def test_fused3d_matches_model(testdata):
-    """The 3-D whole-encoder kernel (now the forward_pallas default when
-    the batch divides into its stream blocks) must reproduce the XLA
-    forward, including with carried state."""
+    """The 3-D whole-encoder kernel (a documented losing experiment on this
+    toolchain — 5.7 ms/chunk-step vs fused2d's 1.88; no longer selected by
+    forward_pallas) must still reproduce the XLA forward, including with
+    carried state."""
     from vadc_tpu.kernels.silero_v31_fused3d import forward_fused3d
     from vadc_tpu.models import silero_v31
     from vadc_tpu.models.weights import silero_v31_params
@@ -261,15 +262,16 @@ def test_fused3d_matches_model(testdata):
         assert_close(cf, c, 1e-4, f"fused3d cn step {step}")
 
 
-def test_forward_pallas_selects_3d_when_batch_divides(testdata):
-    """forward_pallas: 3-D kernel for block-divisible batches, 2-D
-    fallback otherwise — both must agree with the XLA forward."""
+def test_forward_pallas_matches_xla(testdata):
+    """forward_pallas (the fused2d kernel since round 5 re-pinned the 3-D
+    kernel as a methodology artifact; see models/silero_v31.forward_pallas)
+    must agree with the XLA forward at block-divisible AND ragged batches."""
     from vadc_tpu.models import silero_v31
     from vadc_tpu.models.weights import silero_v31_params
 
     params = silero_v31_params(load_testtensor(testdata / "silero_v31_16k.testtensor"))
     rng = np.random.default_rng(14)
-    for batch in (8, 5):  # 8 -> fused3d (8 % 8 == 0); 5 -> fused2d path
+    for batch in (8, 5):
         audio = jnp.asarray(rng.normal(size=(batch, 1536)).astype(np.float32) * 0.1)
         h, c = silero_v31.init_state(batch)
         p_ref, *_ = silero_v31.forward(params, audio, h, c)

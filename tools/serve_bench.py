@@ -100,15 +100,19 @@ class _Client(threading.Thread):
                 next_t += chunk_period
                 while True:
                     delay = next_t - time.perf_counter()
-                    readable, _, _ = _select.select([c], [], [], 0)
+                    if delay <= 0:
+                        break
+                    # block in select for the whole pacing delay, waking
+                    # early only when the server has data — a poll-and-
+                    # sleep(5ms) loop here costs ~200 wakeups/s/client,
+                    # which at the 1k-client scale saturates the single
+                    # host core with context switches before any audio moves
+                    readable, _, _ = _select.select([c], [], [], delay)
                     if readable:
                         data = c.recv(4096)
                         if not data:  # server closed early; drain loop below
                             break
                         recv_buf += data
-                    if delay <= 0:
-                        break
-                    time.sleep(min(delay, 0.005))
             c.shutdown(socket.SHUT_WR)
             c.settimeout(60)
             while True:
@@ -341,7 +345,22 @@ def run_serving_bench(
     fault_counts = {"midwav": 0, "malformed": 0, "malformed_diagnosed": 0}
     slow: _SlowlorisClient | None = None
     fault_waves: list[threading.Thread] = []
+    # RSS accounting, split into warmup vs steady state (soak.py's pattern):
+    # the first seconds of a serving run allocate one-time state — jit
+    # compile caches, the first checkpoint's host buffers, socket/outbox
+    # pools — which is NOT a leak. Only post-warm growth is leak-shaped.
+    # The warm probe fires after the first checkpoint save (ckpt_period_s)
+    # and at least half the run, so both one-time sources land in warmup.
     rss_before = _rss_mb()
+    rss_warm_box: dict = {}
+    warm_s = min(max(seconds * 0.5, (ckpt_period_s + 3.0) if checkpoint else 0.0),
+                 max(seconds - 3.0, 0.0))
+
+    def _warm_probe():
+        time.sleep(warm_s)
+        rss_warm_box["mb"] = _rss_mb()
+
+    threading.Thread(target=_warm_probe, daemon=True).start()
     if faults:
         # fault wave rides ON TOP of the steady load (and churn, when on):
         # a crawling writer holding a slot, repeated mid-wav-decode aborts,
@@ -435,10 +454,12 @@ def run_serving_bench(
             "fault_malformed_diagnosed": fault_counts["malformed_diagnosed"],
             "post_fault_delivery_exact": len(probe.segments) == segs_per_cycle
             and probe.error is None,
-            "rss_growth_mb": round(_rss_mb() - rss_before, 1),
         }
     srv._stop.set()
     sock.close()
+    rss_end = _rss_mb()
+    rss_warm = rss_warm_box.get("mb", rss_end)
+    rss_postwarm_growth = round(rss_end - rss_warm, 1)
 
     expected = cycles * segs_per_cycle
     delivered = [len(cl.segments) for cl in clients]
@@ -472,6 +493,11 @@ def run_serving_bench(
         "segments_dropped": srv.segments_dropped,
         "churn_clients": len(churn_clients),
         "churn_errors": sum(1 for c in churn_clients if c.error),
+        # warmup = one-time allocations (compile caches, first-ckpt host
+        # buffers); postwarm = leak-shaped growth, asserted small
+        "rss_warmup_mb": round(rss_warm - rss_before, 1),
+        "rss_postwarm_growth_mb": rss_postwarm_growth,
+        "rss_postwarm_ok": rss_postwarm_growth <= 64.0,
     }
     if checkpoint:
         result["checkpoint_under_load"] = "ok"

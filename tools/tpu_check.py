@@ -192,8 +192,9 @@ def main() -> int:
         worst = max(worst, float(np.abs(np.asarray(p_f) - np.asarray(p_ref)).max()))
     check("fused2d_forward_state_carry", worst, 1e-5)
 
-    # ---- whole-model fused3d kernel (the forward_pallas default when the
-    # batch divides into its stream blocks), incl. state carry ----
+    # ---- whole-model fused3d kernel (documented losing experiment; round 5
+    # re-pinned it at 5.7 ms/chunk-step and reverted forward_pallas to
+    # fused2d — tools/pallas_recheck.py), incl. state carry ----
     from vadc_tpu.kernels.silero_v31_fused3d import forward_fused3d
 
     hf, cf = h, c

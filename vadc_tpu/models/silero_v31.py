@@ -130,27 +130,28 @@ def forward_pallas(
     active tier (fast-tier kernel vs fast-tier XLA probs agree to ~2e-4
     on-chip; faithful mode runs all dots at HIGHEST).
 
-    Kernel selection: the 3-D formulation (kernels/silero_v31_fused3d,
-    true batched SDPA, BLK=32) when the batch divides into its stream
-    blocks — measured round 4 at 0.094 ms/step vs 0.787 ms XLA fast at
-    batch 2048 after a Mosaic toolchain update reversed the round-3
-    result (5.5 ms; see docs/PERFORMANCE.md "fused3d reversal") — else
-    the 2-D formulation (silero_v31_fused2d) as before.
+    Kernel selection: the 2-D formulation (silero_v31_fused2d, BLK=32,
+    1.88 ms/chunk-step at batch 2048). Round 4 briefly selected the 3-D
+    kernel on the strength of a 0.094 ms/step figure, which round 5
+    re-measurement exposed as a METHODOLOGY ARTIFACT: it came from an
+    independent-steps loop passing identical input buffers every call —
+    a shape that reads several times fast through the remote-device
+    tunnel (round-5 control: XLA fast measures 1.44 ms/step identical-args
+    vs 4.86 ms dependent-chain in the same loop). Under the trustworthy
+    sustained-scan methodology fused3d measures 5.72-5.76 ms/chunk-step —
+    the same ~5.5 ms the round-2/3 matrix always showed (3-D Mosaic
+    lowering inefficiency; docs/PERFORMANCE.md "Pallas status"), and the
+    cause of BENCH_r04's flagged v3_pallas 1.87 -> 5.77 regression
+    (tools/pallas_recheck.py is the experiment).
 
     Inherits bf16 fast-math from the active functional.fast_math() trace
     context (the runner's fast_math flag). The kernels are written for
     fp32 activations, so the turbo tier's bf16-resident compute dtype is
     narrowed back to the fast tier here (same DEFAULT matmul precision)."""
     from vadc_tpu.kernels.silero_v31_fused2d import forward_fused2d
-    from vadc_tpu.kernels.silero_v31_fused3d import forward_fused3d
     from vadc_tpu.nn import functional as F
 
-    batch = audio.shape[0]
-    if batch % min(32, batch) == 0:
-        def fwd(p, a, hh, cc, *, fast):
-            return forward_fused3d(p, a, hh, cc, block_streams=32, fast=fast)
-    else:
-        fwd = forward_fused2d
+    fwd = forward_fused2d
     if F.compute_dtype() != jnp.float32:
         with F.precision_mode("fast"):
             return fwd(params, audio, h, c, fast=True)
