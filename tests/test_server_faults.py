@@ -54,5 +54,7 @@ def test_fault_wave_end_to_end(testdata):
     assert r["ckpt_saves"] >= 1, r
     assert r["ckpt_save_p50_ms"] > 0, r
     assert r["ckpt_save_max_ms"] >= r["ckpt_save_p50_ms"], r
-    # bounded memory across the wave (CI scale: generous but finite)
-    assert r["rss_growth_mb"] < 256, r
+    # bounded memory across the wave, split warmup vs post-warm (CI scale:
+    # generous but finite; a 6 s run may put everything in the warmup bucket)
+    assert r["rss_warmup_mb"] < 256, r
+    assert r["rss_postwarm_growth_mb"] < 128, r

@@ -305,6 +305,11 @@ def run_serving_bench(
     sock = socket.create_server(("127.0.0.1", 0))
     port = sock.getsockname()[1]
     srv.pool.start()
+    # compile the tick BEFORE clients connect: a cold jit compile inside
+    # the engine loop stalls every early stream past its read timeout on
+    # cold backends / busy single-core hosts (and would smear compile time
+    # into the tick/aggregate-throughput measurements)
+    srv.warmup()
     threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
     engine = threading.Thread(target=srv._engine_loop, daemon=True)
     engine.start()

@@ -217,6 +217,28 @@ class VadServer:
             self._tick = jax.jit(tick, donate_argnums=(2,))
             self._params = self.runner.params
 
+    def warmup(self) -> None:
+        """Compile the engine tick before the first client connects.
+
+        The first tick otherwise pays the jit compile inside the engine
+        loop while connected clients wait — on a cold backend (or a busy
+        single-core host) that can exceed a client's read timeout, so every
+        early stream appears to stall. One all-idle tick (active and reset
+        both all-False: state provably holds) compiles the exact
+        production HLO. Cheap when the persistent compile cache hits."""
+        jnp = self._jnp
+        zeros = np.zeros((self.n, self.chunk), np.float32)
+        off = np.zeros(self.n, bool)
+        with self._state_lock:
+            probs, self.state = self._tick(
+                self._params,
+                jnp.asarray(zeros),
+                self.state,
+                jnp.asarray(off),
+                jnp.asarray(off),
+            )
+            np.asarray(probs)  # block until the compile + tick complete
+
     # ---- client lifecycle -------------------------------------------------
 
     def _accept_loop(self, server_sock: socket.socket) -> None:
@@ -708,6 +730,7 @@ class VadServer:
     def serve_forever(self) -> None:
         server_sock = socket.create_server((self.host, self.port))
         self.pool.start()
+        self.warmup()  # first client must never pay the tick compile
         acceptor = threading.Thread(
             target=self._accept_loop, args=(server_sock,), daemon=True
         )
