@@ -70,6 +70,46 @@ def audio():
     return f32_to_s16le(a)
 
 
+def test_warmup_holds_state_and_serving_still_exact(testdata, audio):
+    """warmup() compiles the tick via an all-idle pass; per-stream state
+    must come through bit-identical (active and reset are all-False, so
+    the masked merge provably holds), and a client served AFTER warmup
+    must get the same segments as ever."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    from vadc_tpu.server import VadServer
+
+    srv = VadServer(
+        port=0, max_streams=2, model=str(testdata / "silero_v31_16k.testtensor")
+    )
+    # make the held state distinguishable from zeros
+    srv.state.h.block_until_ready()
+    h0 = np.asarray(srv.state.h) + 0.25
+    c0 = np.asarray(srv.state.c) - 0.125
+    from vadc_tpu.engine.runner import StreamState
+
+    srv.state = StreamState(jnp.asarray(h0), jnp.asarray(c0), srv.state.context)
+    srv.warmup()
+    np.testing.assert_array_equal(np.asarray(srv.state.h), h0)
+    np.testing.assert_array_equal(np.asarray(srv.state.c), c0)
+    # fresh-slot reset still zeroes state for a real client post-warmup
+    sock = socket.create_server(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    srv.pool.start()
+    threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
+    threading.Thread(target=srv._engine_loop, daemon=True).start()
+    try:
+        segs = _run_client(port, audio)
+        assert len(segs) == 1, segs
+        start, end = segs[0]
+        assert 0.5 < start < 1.6 and 2.5 < end < 3.6, segs
+    finally:
+        srv._stop.set()
+        sock.close()
+
+
 def test_concurrent_clients(server, audio):
     port, _srv = server
     results = {}

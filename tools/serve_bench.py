@@ -354,11 +354,14 @@ def run_serving_bench(
     # the first seconds of a serving run allocate one-time state — jit
     # compile caches, the first checkpoint's host buffers, socket/outbox
     # pools — which is NOT a leak. Only post-warm growth is leak-shaped.
-    # The warm probe fires after the first checkpoint save (ckpt_period_s)
-    # and at least half the run, so both one-time sources land in warmup.
+    # The warm probe fires after the SECOND checkpoint save and at least
+    # 60% of the run: the first save allocates its host-materialization
+    # buffers and the second proves the allocator plateau — both are
+    # one-time sources that must land in the warmup bucket, leaving the
+    # post-warm window to measure the steady-state slope only.
     rss_before = _rss_mb()
     rss_warm_box: dict = {}
-    warm_s = min(max(seconds * 0.5, (ckpt_period_s + 3.0) if checkpoint else 0.0),
+    warm_s = min(max(seconds * 0.6, (2 * ckpt_period_s + 1.0) if checkpoint else 0.0),
                  max(seconds - 3.0, 0.0))
 
     def _warm_probe():
