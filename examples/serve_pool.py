@@ -81,6 +81,9 @@ def main() -> int:
 
     @jax.jit
     def tick(params, batch, state, mask):
+        # the pool gathers RAW s16 (half the host->device bytes); /32768 on
+        # device is bit-identical to host conversion (power-of-two scale)
+        batch = batch.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         probs, new_state = engine_step(runner.module, family, params, batch, state)
         m3 = mask[None, :, None]
         merged = StreamState(

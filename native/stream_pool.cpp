@@ -2,21 +2,31 @@
 //
 // The serving runtime's data loader: N live PCM sources (pipes, sockets,
 // files) are drained by a small pool of background reader threads (poll +
-// non-blocking reads; streams sharded by index), converted s16le -> f32 and
-// framed DIRECTLY into per-stream chunk ring buffers, GIL-free. The engine
-// thread calls vadc_pool_gather() to collect one chunk per ready stream into
-// a batch matrix for the next device step.
+// non-blocking reads; streams sharded by index) and framed DIRECTLY into
+// per-stream chunk ring buffers, GIL-free. The engine thread calls
+// vadc_pool_gather() to collect one chunk per ready stream into a batch
+// matrix for the next device step.
 //
 // This is the TPU-serving generalization of the reference's single
 // Buffered_Stream (vadc.c:401-667): same full-chunk framing and EOF
 // zero-drain discipline, but for thousands of concurrent streams.
 //
+// The rings hold RAW s16le samples; the s16 -> f32 /32768 conversion happens
+// ON DEVICE inside the engine tick. /32768 is a power-of-two scale, so the
+// result is bit-identical to host-side conversion — and keeping samples s16
+// halves ring memory, makes the drain a pure memcpy, and (the real win)
+// halves the host->device transfer per serving tick, which is what bounds
+// tick latency at the 1024-stream scale (measured: the [1024,1536] f32 tick
+// payload put tick p50 at 104 ms through the remote-device link — above the
+// 96 ms chunk cadence; s16 brings the payload under it).
+//
 // Throughput notes (tools/ingest_bench.py): the first version staged samples
 // in a std::vector with push_back + front-erase (an O(chunk) shift per chunk)
-// and one reader thread — ~270 MB/s. This version converts straight into the
-// ring slot under construction (no staging copy, no shift) and shards streams
-// over `reader_threads` pollers, so aggregate ingest scales with cores until
-// memory bandwidth.
+// and one reader thread — ~270 MB/s. The second converted s16->f32 straight
+// into the ring slot (no staging copy, no shift) with streams sharded over
+// `reader_threads` pollers — 540-900 MB/s. This version drops the conversion
+// entirely (memcpy into the s16 ring), so aggregate ingest scales with cores
+// until memory bandwidth.
 //
 // Plain C ABI for ctypes. Build: `make -C native`.
 
@@ -33,8 +43,6 @@
 
 namespace {
 
-constexpr float kScale = 1.0f / 32768.0f;
-
 struct Stream {
     int fd = -1;
     std::atomic<bool> eof{false};
@@ -43,7 +51,7 @@ struct Stream {
     bool has_byte = false;
     // ring of chunks; the slot at head%ring_chunks is under construction
     // with `fill` samples already written (fill < chunk_samples)
-    std::vector<float> ring;  // ring_chunks * chunk_samples
+    std::vector<int16_t> ring;  // ring_chunks * chunk_samples, raw s16le
     int fill = 0;             // reader thread only; engine reads it after eof
     std::atomic<int64_t> head{0};  // completed chunks
     std::atomic<int64_t> tail{0};  // consumed chunks
@@ -107,10 +115,11 @@ int vadc_pool_add_fd(VadcPool* pool, int stream_idx, int fd) {
 }
 
 static void pool_drain_fd(VadcPool* pool, Stream& s) {
-    // bytes -> f32 straight into the ring slot under construction. Each
-    // read() is capped to the free ring space, so the conversion loop can
-    // never overrun an unconsumed slot and never needs to block or stage:
-    // backpressure is exactly "leave the bytes in the kernel buffer".
+    // bytes straight into the s16 ring slot under construction (pure
+    // memcpy on little-endian hosts). Each read() is capped to the free
+    // ring space, so the copy can never overrun an unconsumed slot and
+    // never needs to block or stage: backpressure is exactly "leave the
+    // bytes in the kernel buffer".
     const int chunk = pool->chunk_samples;
     uint8_t buf[65536];
     for (;;) {
@@ -135,12 +144,11 @@ static void pool_drain_fd(VadcPool* pool, Stream& s) {
             return;
         }
         ssize_t i = 0;
-        float* slot = s.ring.data() +
-                      (head % pool->ring_chunks) * static_cast<size_t>(chunk);
+        int16_t* slot = s.ring.data() +
+                        (head % pool->ring_chunks) * static_cast<size_t>(chunk);
         if (s.has_byte) {  // complete the sample split across read()s
-            int16_t sample = static_cast<int16_t>(
+            slot[s.fill++] = static_cast<int16_t>(
                 s.byte_stage | (static_cast<uint16_t>(buf[0]) << 8));
-            slot[s.fill++] = sample * kScale;
             s.has_byte = false;
             i = 1;
             if (s.fill == chunk) {
@@ -150,19 +158,14 @@ static void pool_drain_fd(VadcPool* pool, Stream& s) {
                        (head % pool->ring_chunks) * static_cast<size_t>(chunk);
             }
         }
-        // bulk convert: fill the current slot, publish, move to the next
+        // bulk copy: fill the current slot, publish, move to the next
         while (i + 1 < n) {
             int room = chunk - s.fill;
             ssize_t avail_samples = (n - i) / 2;
             int todo =
                 static_cast<int>(avail_samples < room ? avail_samples : room);
-            const uint8_t* src = buf + i;
-            float* dst = slot + s.fill;
-            for (int k = 0; k < todo; ++k) {
-                int16_t sample;
-                std::memcpy(&sample, src + 2 * k, 2);
-                dst[k] = sample * kScale;
-            }
+            std::memcpy(slot + s.fill, buf + i,
+                        static_cast<size_t>(todo) * 2);
             s.fill += todo;
             i += static_cast<ssize_t>(todo) * 2;
             if (s.fill == chunk) {
@@ -226,11 +229,12 @@ int vadc_pool_start(VadcPool* pool) {
     return 0;
 }
 
-// Pop one chunk per ready stream into out [n_streams, chunk_samples].
+// Pop one chunk per ready stream into out [n_streams, chunk_samples] (raw
+// s16le; the engine converts on device — see the header comment).
 // ready[i]: 1 = fresh chunk, 2 = final zero-padded tail chunk, 0 = nothing.
 // A stream at EOF with a partial chunk yields it zero-padded exactly once.
 // Returns the number of ready streams.
-int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
+int64_t vadc_pool_gather(VadcPool* pool, int16_t* out, uint8_t* ready) {
     const size_t chunk = static_cast<size_t>(pool->chunk_samples);
     // fd_mutex serializes against vadc_pool_add_fd's slot reset: without
     // it a recycle racing this loop could tear head/tail/fill/drained (a
@@ -242,12 +246,12 @@ int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
     int64_t count = 0;
     for (int i = 0; i < pool->n_streams; ++i) {
         Stream& s = pool->streams[i];
-        float* row = out + static_cast<int64_t>(i) * pool->chunk_samples;
+        int16_t* row = out + static_cast<int64_t>(i) * pool->chunk_samples;
         int64_t tail = s.tail.load(std::memory_order_relaxed);
         if (s.head.load(std::memory_order_acquire) > tail) {
-            const float* slot =
+            const int16_t* slot =
                 s.ring.data() + (tail % pool->ring_chunks) * chunk;
-            std::memcpy(row, slot, chunk * sizeof(float));
+            std::memcpy(row, slot, chunk * sizeof(int16_t));
             s.tail.store(tail + 1, std::memory_order_release);
             ready[i] = 1;
             ++count;
@@ -256,12 +260,12 @@ int64_t vadc_pool_gather(VadcPool* pool, float* out, uint8_t* ready) {
             // After EOF the reader threads never touch this stream again
             // (their poll sets exclude eof streams), so the engine thread
             // may consume the in-progress slot directly: zero-pad the tail.
-            const float* slot =
+            const int16_t* slot =
                 s.ring.data() +
                 (s.head.load(std::memory_order_relaxed) % pool->ring_chunks) *
                     chunk;
-            std::memcpy(row, slot, s.fill * sizeof(float));
-            std::memset(row + s.fill, 0, (chunk - s.fill) * sizeof(float));
+            std::memcpy(row, slot, s.fill * sizeof(int16_t));
+            std::memset(row + s.fill, 0, (chunk - s.fill) * sizeof(int16_t));
             s.fill = 0;
             s.drained = true;
             ready[i] = 2;

@@ -114,9 +114,9 @@ def test_stream_pool_pipes():
 
         for i, data in enumerate(audio):
             expect = np.zeros(-(-len(data) // chunk) * chunk if len(data) else 0,
-                              np.float32)
-            expect[: len(data)] = data.astype(np.float32) / 32768.0
-            got_flat = np.concatenate(got[i]) if got[i] else np.zeros(0, np.float32)
+                              np.int16)
+            expect[: len(data)] = data  # gather returns RAW s16 since r5
+            got_flat = np.concatenate(got[i]) if got[i] else np.zeros(0, np.int16)
             np.testing.assert_array_equal(got_flat, expect, err_msg=f"stream {i}")
     finally:
         pool.close()
@@ -160,8 +160,8 @@ def test_stream_pool_multiple_reader_threads():
                 break
             time.sleep(0.002)
         for i, data in enumerate(audio):
-            expect = np.zeros(-(-len(data) // chunk) * chunk, np.float32)
-            expect[: len(data)] = data.astype(np.float32) / 32768.0
+            expect = np.zeros(-(-len(data) // chunk) * chunk, np.int16)
+            expect[: len(data)] = data
             np.testing.assert_array_equal(
                 np.concatenate(got[i]), expect, err_msg=f"stream {i}"
             )
@@ -202,8 +202,8 @@ def test_stream_pool_ring_overflow_eof():
                 break
             time.sleep(0.002)
         flat = np.concatenate(got)
-        expect = np.zeros(11 * chunk, np.float32)
-        expect[: len(data)] = data.astype(np.float32) / 32768.0
+        expect = np.zeros(11 * chunk, np.int16)
+        expect[: len(data)] = data
         np.testing.assert_array_equal(flat, expect)
     finally:
         pool.close()

@@ -93,6 +93,11 @@ class _Client(threading.Thread):
 
         c.settimeout(60)
         chunk_period = (self.chunk_bytes / 2 / SR) / self.rtf
+        # poll(), NOT select(): at >=1024 concurrent clients the fd numbers
+        # exceed FD_SETSIZE and select() raises "filedescriptor out of
+        # range" — found live by the 1024-client bench config
+        poller = _select.poll()
+        poller.register(c, _select.POLLIN)
         try:
             next_t = time.perf_counter()
             for off in range(0, len(self.pcm), self.chunk_bytes):
@@ -102,13 +107,12 @@ class _Client(threading.Thread):
                     delay = next_t - time.perf_counter()
                     if delay <= 0:
                         break
-                    # block in select for the whole pacing delay, waking
+                    # block in poll for the whole pacing delay, waking
                     # early only when the server has data — a poll-and-
                     # sleep(5ms) loop here costs ~200 wakeups/s/client,
                     # which at the 1k-client scale saturates the single
                     # host core with context switches before any audio moves
-                    readable, _, _ = _select.select([c], [], [], delay)
-                    if readable:
+                    if poller.poll(delay * 1000):
                         data = c.recv(4096)
                         if not data:  # server closed early; drain loop below
                             break
@@ -140,6 +144,18 @@ def _pct(xs, q):
 
 
 def _rss_mb() -> float:
+    """RSS after returning freed arena pages to the OS: glibc retains
+    freed memory in per-thread arenas, and a serving run spawns hundreds
+    of short-lived client/fault threads — without malloc_trim their
+    retained-but-dead arenas read as ~100+ MB of phantom 'growth' and the
+    leak signal drowns. trim(0) releases exactly the freed pages, so what
+    remains in RSS is live memory."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
     with open("/proc/self/status") as f:
         for line in f:
             if line.startswith("VmRSS:"):
@@ -319,8 +335,13 @@ def run_serving_bench(
     cycles = max(1, int(seconds * rtf / cycle_s))
 
     t0 = time.perf_counter()
+    # build the full stream ONCE and share it (bytes * 1 returns the same
+    # object): per-client `pcm_cycle * cycles` copies put ~2.5 MB x
+    # n_clients of BENCH-side buffers on the heap, which polluted the
+    # server RSS split at 64 clients and would add ~2.5 GB at 1024
+    pcm_full = pcm_cycle * cycles
     clients = [
-        _Client(port, pcm_cycle, cycles, srv.chunk * 2, rtf) for _ in range(n_clients)
+        _Client(port, pcm_full, 1, srv.chunk * 2, rtf) for _ in range(n_clients)
     ]
     for cl in clients:
         cl.start()

@@ -67,7 +67,7 @@ def _try_load() -> ctypes.CDLL | None:
     lib.vadc_pool_start.restype = c_int
     lib.vadc_pool_start.argtypes = [ctypes.c_void_p]
     lib.vadc_pool_gather.restype = i64
-    lib.vadc_pool_gather.argtypes = [ctypes.c_void_p, p_f32, p_u8]
+    lib.vadc_pool_gather.argtypes = [ctypes.c_void_p, p_i16, p_u8]
     lib.vadc_pool_stream_done.restype = c_int
     lib.vadc_pool_stream_done.argtypes = [ctypes.c_void_p, c_int]
     lib.vadc_pool_destroy.argtypes = [ctypes.c_void_p]
@@ -155,10 +155,15 @@ class StreamPool:
         self._started = True
 
     def gather(self) -> tuple[np.ndarray, np.ndarray, int]:
-        """Returns (batch [N, chunk] f32, ready [N] uint8, ready_count).
+        """Returns (batch [N, chunk] RAW s16, ready [N] uint8, ready_count).
         ready: 1 = full chunk, 2 = zero-padded EOF tail, 0 = nothing new
-        (rows with 0 are untouched/stale)."""
-        out = np.zeros((self.n_streams, self.chunk_samples), np.float32)
+        (rows with 0 are untouched/stale).
+
+        The batch stays int16 deliberately: /32768 is a power-of-two scale,
+        so converting ON DEVICE is bit-identical to host conversion while
+        halving the host->device transfer per tick — the binding cost at
+        the 1024-stream serving scale (see native/stream_pool.cpp)."""
+        out = np.zeros((self.n_streams, self.chunk_samples), np.int16)
         ready = np.zeros(self.n_streams, np.uint8)
         count = self._lib.vadc_pool_gather(self._handle(), out, ready)
         return out, ready, int(count)
