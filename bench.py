@@ -563,6 +563,8 @@ def main():
             "post_fault_delivery_exact",
             "rss_warmup_mb",
             "rss_postwarm_growth_mb",
+            "rss_plugin_xfer_model_mb",
+            "rss_postwarm_residual_mb",
             "rss_postwarm_ok",
             "ckpt_saves",
             "ckpt_save_p50_ms",
@@ -613,6 +615,8 @@ def main():
             "tick_p50_ms",
             "tick_p99_ms",
             "rss_postwarm_growth_mb",
+            "rss_plugin_xfer_model_mb",
+            "rss_postwarm_residual_mb",
             "rss_postwarm_ok",
         ):
             key = f"serving_1k_{k}"
@@ -696,7 +700,7 @@ def main():
         "serving_64": {
             "agg_rt_x": cfg("serving_aggregate_realtime_x"),
             "delivery_exact": cfg("serving_delivery_exact"),
-            "rss_postwarm_mb": cfg("serving_rss_postwarm_growth_mb"),
+            "rss_resid_mb": cfg("serving_rss_postwarm_residual_mb"),
         },
         "serving_1k": {
             "clients": cfg("serving_1k_clients"),

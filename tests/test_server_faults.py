@@ -58,3 +58,8 @@ def test_fault_wave_end_to_end(testdata):
     # generous but finite; a 6 s run may put everything in the warmup bucket)
     assert r["rss_warmup_mb"] < 256, r
     assert r["rss_postwarm_growth_mb"] < 128, r
+    # the plugin-leak model is present and the residual (what THIS codebase
+    # is accountable for) passes its own assertion — on the CPU backend
+    # there is no plugin leak, so the raw growth already bounds the residual
+    assert r["rss_postwarm_residual_mb"] <= r["rss_postwarm_growth_mb"], r
+    assert r["rss_postwarm_ok"] is True, r

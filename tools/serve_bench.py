@@ -387,6 +387,7 @@ def run_serving_bench(
 
     def _warm_probe():
         time.sleep(warm_s)
+        rss_warm_box["ticks"] = len(srv.tick_times)
         rss_warm_box["mb"] = _rss_mb()
 
     threading.Thread(target=_warm_probe, daemon=True).start()
@@ -487,8 +488,28 @@ def run_serving_bench(
     srv._stop.set()
     sock.close()
     rss_end = _rss_mb()
+    ticks_end = len(srv.tick_times)
     rss_warm = rss_warm_box.get("mb", rss_end)
+    ticks_warm = rss_warm_box.get("ticks", ticks_end)
     rss_postwarm_growth = round(rss_end - rss_warm, 1)
+    # Known-environment correction (round-5 attribution, tools/rss_attrib.py
+    # + docs/PERFORMANCE.md "remote-plugin transfer leak"): the axon
+    # remote-device plugin permanently retains ~payload + ~2 KB of host RSS
+    # per host<->device transfer — measured 193.6 KB/iter for a 192 KB
+    # batch on axon vs 0.1 KB/iter for the IDENTICAL loop on the local CPU
+    # backend, and the serving slope tracks TICKS exactly (3.66 MB/s =
+    # 193 KB/tick at 64 streams), continuing even through the post-client
+    # backlog drain. Each engine tick issues 3 H2D (s16 batch, active,
+    # reset) + 1 D2H (probs), so the expected plugin growth in the
+    # post-warm window is modeled and subtracted; the RESIDUAL is what a
+    # leak in THIS codebase would look like, and that is what's asserted.
+    per_tick_bytes = (
+        srv.n * srv.chunk * 2  # s16 batch H2D
+        + srv.n * (1 + 1 + 4)  # active + reset H2D, probs f32 D2H
+        + 4 * 2048  # ~2 KB fixed per transfer x 4 transfers
+    )
+    plugin_xfer_mb = (ticks_end - ticks_warm) * per_tick_bytes / (1024 * 1024)
+    rss_postwarm_residual = round(rss_postwarm_growth - plugin_xfer_mb, 1)
 
     expected = cycles * segs_per_cycle
     delivered = [len(cl.segments) for cl in clients]
@@ -523,10 +544,15 @@ def run_serving_bench(
         "churn_clients": len(churn_clients),
         "churn_errors": sum(1 for c in churn_clients if c.error),
         # warmup = one-time allocations (compile caches, first-ckpt host
-        # buffers); postwarm = leak-shaped growth, asserted small
+        # buffers); postwarm = leak-shaped growth. The raw number includes
+        # the KNOWN axon remote-plugin per-transfer leak (see the model
+        # above); the residual after subtracting it is what this codebase
+        # is accountable for, and that is what rss_postwarm_ok asserts.
         "rss_warmup_mb": round(rss_warm - rss_before, 1),
         "rss_postwarm_growth_mb": rss_postwarm_growth,
-        "rss_postwarm_ok": rss_postwarm_growth <= 64.0,
+        "rss_plugin_xfer_model_mb": round(plugin_xfer_mb, 1),
+        "rss_postwarm_residual_mb": rss_postwarm_residual,
+        "rss_postwarm_ok": rss_postwarm_residual <= 64.0,
     }
     if checkpoint:
         result["checkpoint_under_load"] = "ok"

@@ -287,6 +287,47 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # ---- remote-plugin transfer-leak canary (informational) ----
+    # Round-5 attribution (tools/rss_attrib.py): the axon remote-device
+    # plugin permanently retains ~payload + ~2 KB of host RSS per
+    # host<->device transfer (193.6 KB/iter for a 192 KB buffer; the SAME
+    # loop on the local CPU backend retains 0.1 KB/iter). serve_bench's
+    # rss_postwarm_ok models and subtracts it. If this canary reads ~0,
+    # the plugin was fixed — drop the model from serve_bench.
+    try:
+        import ctypes
+
+        def _rss_kb() -> int:
+            try:
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except Exception:
+                pass
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1])
+            return 0
+
+        buf = np.zeros((64, 1536), np.int16)  # 192 KB, the serving payload
+        d = jnp.asarray(buf)
+        np.asarray(d)
+        r0 = _rss_kb()
+        n_xfer = 40
+        for _ in range(n_xfer):
+            d = jnp.asarray(buf)
+            np.asarray(d)
+        leak_kb = (_rss_kb() - r0) / n_xfer
+        summary_probes["xfer_leak_kb_per_transfer"] = round(leak_kb, 1)
+        print(
+            f"probe xfer_leak: {leak_kb:.1f} KB retained per 192 KB "
+            f"host<->device round-trip "
+            f"({'plugin still leaks' if leak_kb > 20 else 'LEAK GONE — drop serve_bench model'})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"probe xfer_leak: skipped ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
     elapsed = time.time() - t0
     summary = {
         "check": "tpu_kernels",
