@@ -96,7 +96,7 @@ def main() -> int:
         return probs, merged
 
     while True:
-        batch, ready, count = pool.gather()
+        batch, ready, count, _ = pool.gather()
         if count == 0:
             if all(pool.stream_done(i) for i in range(n)):
                 break

@@ -234,7 +234,20 @@ int vadc_pool_start(VadcPool* pool) {
 // ready[i]: 1 = fresh chunk, 2 = final zero-padded tail chunk, 0 = nothing.
 // A stream at EOF with a partial chunk yields it zero-padded exactly once.
 // Returns the number of ready streams.
-int64_t vadc_pool_gather(VadcPool* pool, int16_t* out, uint8_t* ready) {
+//
+// *backlog (nullable) gets the number of streams that STILL hold at least
+// one completed chunk after this drain — i.e. streams the engine is at
+// least one full tick behind on. Counted against the head value sampled at
+// drain time (not re-loaded), so a chunk a reader completes DURING this
+// loop does not count: backlog > 0 means genuinely queued-before-drain
+// work, which is what the engine's catch-up tick keys on. A blind second
+// gather can't tell backlog from arrival jitter — at 1024 realtime streams
+// a chunk completes somewhere every ~0.1 ms, so "did a second gather find
+// anything?" is true on essentially every tick even when perfectly on
+// cadence, which would make every steady-state tick a double-compute
+// catch-up tick.
+int64_t vadc_pool_gather(VadcPool* pool, int16_t* out, uint8_t* ready,
+                         int64_t* backlog) {
     const size_t chunk = static_cast<size_t>(pool->chunk_samples);
     // fd_mutex serializes against vadc_pool_add_fd's slot reset: without
     // it a recycle racing this loop could tear head/tail/fill/drained (a
@@ -244,17 +257,20 @@ int64_t vadc_pool_gather(VadcPool* pool, int16_t* out, uint8_t* ready) {
     // besides the readers' brief poll-set builds.
     std::lock_guard<std::mutex> lock(pool->fd_mutex);
     int64_t count = 0;
+    int64_t behind = 0;
     for (int i = 0; i < pool->n_streams; ++i) {
         Stream& s = pool->streams[i];
         int16_t* row = out + static_cast<int64_t>(i) * pool->chunk_samples;
         int64_t tail = s.tail.load(std::memory_order_relaxed);
-        if (s.head.load(std::memory_order_acquire) > tail) {
+        int64_t head = s.head.load(std::memory_order_acquire);
+        if (head > tail) {
             const int16_t* slot =
                 s.ring.data() + (tail % pool->ring_chunks) * chunk;
             std::memcpy(row, slot, chunk * sizeof(int16_t));
             s.tail.store(tail + 1, std::memory_order_release);
             ready[i] = 1;
             ++count;
+            if (head > tail + 1) ++behind;
         } else if (s.eof.load(std::memory_order_acquire) && !s.drained &&
                    s.fill > 0) {
             // After EOF the reader threads never touch this stream again
@@ -274,6 +290,7 @@ int64_t vadc_pool_gather(VadcPool* pool, int16_t* out, uint8_t* ready) {
             ready[i] = 0;
         }
     }
+    if (backlog) *backlog = behind;
     return count;
 }
 

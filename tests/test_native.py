@@ -104,7 +104,7 @@ def test_stream_pool_pipes():
         got = {0: [], 1: [], 2: []}
         deadline = time.time() + 5.0
         while time.time() < deadline:
-            out, ready, count = pool.gather()
+            out, ready, count, _ = pool.gather()
             for i in range(3):
                 if ready[i]:
                     got[i].append(out[i].copy())
@@ -152,7 +152,7 @@ def test_stream_pool_multiple_reader_threads():
         got = {i: [] for i in range(n)}
         deadline = time.time() + 5.0
         while time.time() < deadline:
-            out, ready, _ = pool.gather()
+            out, ready, _, _ = pool.gather()
             for i in range(n):
                 if ready[i]:
                     got[i].append(out[i].copy())
@@ -195,7 +195,7 @@ def test_stream_pool_ring_overflow_eof():
         got = []
         deadline = time.time() + 5
         while time.time() < deadline:
-            out, ready, _ = pool.gather()
+            out, ready, _, _ = pool.gather()
             if ready[0]:
                 got.append(out[0].copy())
             if pool.stream_done(0):
@@ -273,3 +273,49 @@ def test_full_ring_does_not_busy_spin():
         pool.close()
         os.close(w)
         os.close(r)
+
+
+def test_gather_backlog_counts_queued_streams():
+    """gather()'s backlog = streams that still hold a completed chunk AFTER
+    the drain — the engine's catch-up-tick trigger. A stream with 3 queued
+    chunks reports backlog through two drains and none on the third; a
+    stream that is merely on cadence (one chunk at a time) never does."""
+    import os
+    import time
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    chunk = 256
+    pool = native.StreamPool(2, chunk, ring_chunks=8)
+    pipes = [os.pipe() for _ in range(2)]
+    for i, (r, _w) in enumerate(pipes):
+        pool.add_fd(i, r)
+    pool.start()
+    try:
+        rng = np.random.default_rng(7)
+        # stream 0: 3 chunks at once (a backlogged / faster-than-realtime
+        # client); stream 1: exactly one chunk (on cadence)
+        os.write(pipes[0][1], rng.integers(-100, 100, 3 * chunk)
+                 .astype(np.int16).tobytes())
+        os.write(pipes[1][1], rng.integers(-100, 100, chunk)
+                 .astype(np.int16).tobytes())
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            # wait for the readers to frame everything before judging
+            _, _, count, backlog = pool.gather()
+            if count == 2:
+                break
+            time.sleep(0.005)
+        assert count == 2
+        assert backlog == 1, "only stream 0 still has chunks queued"
+        _, _, count, backlog = pool.gather()
+        assert count == 1 and backlog == 1  # stream 0: 1 drained, 1 left
+        _, _, count, backlog = pool.gather()
+        assert count == 1 and backlog == 0  # last queued chunk, none behind
+        _, _, count, backlog = pool.gather()
+        assert count == 0 and backlog == 0
+    finally:
+        pool.close()
+        for r, w in pipes:
+            os.close(r)
+            os.close(w)

@@ -522,3 +522,104 @@ def test_wav_client_malformed_header_gets_error_and_recycles(server):
     while time.monotonic() < deadline and len(srv._free) < 2:
         time.sleep(0.05)
     assert len(srv._free) == 2, "slot leaked after malformed wav header"
+
+
+def test_tick2_parity_with_sequential_ticks(testdata):
+    """The catch-up tick (two chunks per stream in one device call) must be
+    numerically equivalent to two sequential plain ticks — including reset
+    applied before sub-step 0 only, per-sub-step active masks (a stream
+    active only in the SECOND sub-chunk models a chunk that arrived between
+    the engine's two gathers), and idle-hold merging."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    from vadc_tpu.engine.runner import StreamState
+    from vadc_tpu.server import VadServer
+
+    srv = VadServer(
+        port=0, max_streams=4, model=str(testdata / "silero_v31_16k.testtensor")
+    )
+    rng = np.random.default_rng(3)
+    n, c = srv.n, srv.chunk
+    ba = (rng.normal(size=(n, c)) * 3000).astype(np.int16)
+    bb = (rng.normal(size=(n, c)) * 3000).astype(np.int16)
+    aa = np.array([True, True, False, True])
+    ab = np.array([True, False, True, False])
+    reset = np.array([False, True, False, False])
+    none = np.zeros(n, bool)
+
+    h0 = np.asarray(srv.state.h) + 0.1  # nonzero so reset/hold are visible
+    c0 = np.asarray(srv.state.c) - 0.05
+    ctx0 = None if srv.state.context is None else np.asarray(srv.state.context)
+
+    def fresh_state():
+        # ticks DONATE their state argument — every call needs its own copy
+        return StreamState(
+            jnp.asarray(h0),
+            jnp.asarray(c0),
+            None if ctx0 is None else jnp.asarray(ctx0),
+        )
+
+    p_a, s1 = srv._tick(
+        srv._params, jnp.asarray(ba), fresh_state(), jnp.asarray(aa),
+        jnp.asarray(reset),
+    )
+    p_b, s2 = srv._tick(
+        srv._params, jnp.asarray(bb), s1, jnp.asarray(ab), jnp.asarray(none)
+    )
+    q2, t2 = srv._tick2(
+        srv._params, jnp.asarray(ba), jnp.asarray(bb), fresh_state(),
+        jnp.asarray(aa), jnp.asarray(ab), jnp.asarray(reset),
+    )
+    q2 = np.asarray(q2)  # [N, 2] stacked: one D2H materialization
+    # tick and tick2 are different XLA programs, so fusion may reassociate
+    # float ops — allow noise at the fp32 ulp scale, nothing model-visible
+    np.testing.assert_allclose(q2[:, 0], np.asarray(p_a), atol=2e-6, rtol=0)
+    np.testing.assert_allclose(q2[:, 1], np.asarray(p_b), atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(t2.h), np.asarray(s2.h), atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(t2.c), np.asarray(s2.c), atol=2e-6, rtol=0)
+    if ctx0 is not None:
+        np.testing.assert_allclose(
+            np.asarray(t2.context), np.asarray(s2.context), atol=2e-6, rtol=0
+        )
+
+
+def test_catchup_tick_drains_backlog_exactly(testdata, audio):
+    """A deliberately slowed tick forces the rings to back up; the engine
+    must fall into the catch-up path (catchup_ticks > 0) and STILL deliver
+    the exact segments — same numbers the plain path produces."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import time
+
+    from vadc_tpu.server import VadServer
+
+    srv = VadServer(
+        port=0, max_streams=2, model=str(testdata / "silero_v31_16k.testtensor")
+    )
+    orig_tick, orig_tick2 = srv._tick, srv._tick2
+
+    def slow_tick(*a):
+        time.sleep(0.05)
+        return orig_tick(*a)
+
+    def slow_tick2(*a):
+        time.sleep(0.05)
+        return orig_tick2(*a)
+
+    srv._tick, srv._tick2 = slow_tick, slow_tick2
+    sock = socket.create_server(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    srv.pool.start()
+    threading.Thread(target=srv._accept_loop, args=(sock,), daemon=True).start()
+    threading.Thread(target=srv._engine_loop, daemon=True).start()
+    try:
+        segs = _run_client(port, audio)  # unpaced: much faster than realtime
+        assert len(segs) == 1, segs
+        start, end = segs[0]
+        assert 0.5 < start < 1.6 and 2.5 < end < 3.6, segs
+        assert srv.catchup_ticks > 0, "backlog never hit the catch-up path"
+    finally:
+        srv._stop.set()
+        sock.close()

@@ -111,7 +111,7 @@ def run_ingest(
     t0 = time.perf_counter()
     deadline = t0 + seconds
     while time.perf_counter() < deadline:
-        batch, ready, count = pool.gather()
+        batch, ready, count, _ = pool.gather()
         gathers += 1
         chunks += count
         if fsm is not None and count:

@@ -533,6 +533,9 @@ def run_serving_bench(
         "tick_p50_ms": round(_pct(ticks, 0.50), 2) if ticks else None,
         "tick_p99_ms": round(_pct(ticks, 0.99), 2) if ticks else None,
         "ticks_measured": len(ticks),
+        # ticks that drained TWO queued chunks per stream — the engine was
+        # behind cadence and recovering (vadc_tpu/server.py tick2)
+        "catchup_ticks": srv.catchup_ticks,
         "emit_p50_ms": round(_pct(emits, 0.50), 3) if emits else None,
         "emit_p99_ms": round(_pct(emits, 0.99), 3) if emits else None,
         # client-observed: queued -> kernel, incl. outbox parking (a

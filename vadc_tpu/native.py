@@ -67,7 +67,9 @@ def _try_load() -> ctypes.CDLL | None:
     lib.vadc_pool_start.restype = c_int
     lib.vadc_pool_start.argtypes = [ctypes.c_void_p]
     lib.vadc_pool_gather.restype = i64
-    lib.vadc_pool_gather.argtypes = [ctypes.c_void_p, p_i16, p_u8]
+    lib.vadc_pool_gather.argtypes = [
+        ctypes.c_void_p, p_i16, p_u8, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.vadc_pool_stream_done.restype = c_int
     lib.vadc_pool_stream_done.argtypes = [ctypes.c_void_p, c_int]
     lib.vadc_pool_destroy.argtypes = [ctypes.c_void_p]
@@ -154,10 +156,14 @@ class StreamPool:
         self._lib.vadc_pool_start(self._handle())
         self._started = True
 
-    def gather(self) -> tuple[np.ndarray, np.ndarray, int]:
-        """Returns (batch [N, chunk] RAW s16, ready [N] uint8, ready_count).
-        ready: 1 = full chunk, 2 = zero-padded EOF tail, 0 = nothing new
-        (rows with 0 are untouched/stale).
+    def gather(self) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """Returns (batch [N, chunk] RAW s16, ready [N] uint8, ready_count,
+        backlog). ready: 1 = full chunk, 2 = zero-padded EOF tail, 0 =
+        nothing new (rows with 0 are untouched/stale). backlog = streams
+        that STILL hold a completed chunk after this drain, i.e. streams
+        the engine is a full tick behind on — the catch-up-tick trigger
+        (see vadc_pool_gather in native/stream_pool.cpp for why this is
+        counted in-drain rather than probed with a second gather).
 
         The batch stays int16 deliberately: /32768 is a power-of-two scale,
         so converting ON DEVICE is bit-identical to host conversion while
@@ -165,8 +171,11 @@ class StreamPool:
         the 1024-stream serving scale (see native/stream_pool.cpp)."""
         out = np.zeros((self.n_streams, self.chunk_samples), np.int16)
         ready = np.zeros(self.n_streams, np.uint8)
-        count = self._lib.vadc_pool_gather(self._handle(), out, ready)
-        return out, ready, int(count)
+        backlog = ctypes.c_int64(0)
+        count = self._lib.vadc_pool_gather(
+            self._handle(), out, ready, ctypes.byref(backlog)
+        )
+        return out, ready, int(count), int(backlog.value)
 
     def stream_done(self, idx: int) -> bool:
         return bool(self._lib.vadc_pool_stream_done(self._handle(), idx))

@@ -146,6 +146,8 @@ class VadServer:
         from collections import deque
 
         self.tick_times: deque = deque(maxlen=20000)
+        # ticks that drained TWO queued chunks per stream (engine behind)
+        self.catchup_ticks = 0
         # emit_latencies: FSM event -> line rendered+queued+first send
         # attempt (the engine-side emit cost). delivery_latencies: line
         # queued -> fully handed to the kernel, INCLUDING time parked in
@@ -159,45 +161,81 @@ class VadServer:
 
         step = functools.partial(_step, self.runner.module, self.family)
 
-        def tick(params, batch, state, active, reset):
+        def _map_state(state, fn):
+            return StreamState(
+                fn(state.h),
+                fn(state.c),
+                None if state.context is None else fn(state.context),
+            )
+
+        def _masked_zero(state, mask):
+            # Reset recycled slots BEFORE the step: a slot whose first audio
+            # chunk arrives in the same tick as its reset request must be
+            # computed from zeroed state, not the previous client's leftovers.
+            def z(x):
+                m = mask[None, :, None] if x.ndim == 3 else mask[:, None]
+                return jnp.where(m, jnp.zeros_like(x), x)
+
+            return _map_state(state, z)
+
+        def _masked_merge(new, old, mask):
+            # idle slots hold their (possibly just-reset) state
+            def pick(n, o):
+                m = mask[None, :, None] if n.ndim == 3 else mask[:, None]
+                return jnp.where(m, n, o)
+
+            return StreamState(
+                pick(new.h, old.h),
+                pick(new.c, old.c),
+                None
+                if old.context is None
+                else pick(new.context, old.context),
+            )
+
+        def _dequant(batch):
             # batch arrives as RAW s16 (the pool's rings are s16: half the
             # host->device bytes per tick, the binding cost at 1k streams).
             # /32768 is a power-of-two scale — bit-identical to converting
             # on host (io/pcm.py), and XLA fuses it into the first op.
-            batch = batch.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-            # Reset recycled slots BEFORE the step: a slot whose first audio
-            # chunk arrives in the same tick as its reset request must be
-            # computed from zeroed state, not the previous client's leftovers.
-            def zero_where_reset(x):
-                r = reset[None, :, None] if x.ndim == 3 else reset[:, None]
-                return jnp.where(r, jnp.zeros_like(x), x)
+            return batch.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
-            state = StreamState(
-                zero_where_reset(state.h),
-                zero_where_reset(state.c),
-                None if state.context is None else zero_where_reset(state.context),
-            )
+        def _run_step(params, batch, state):
             if precision != "faithful":
                 from vadc_tpu.nn import functional as F
 
                 with F.precision_mode(precision):
-                    probs, new_state = step(params, batch, state)
-            else:
-                probs, new_state = step(params, batch, state)
+                    return step(params, batch, state)
+            return step(params, batch, state)
 
-            def merge(new, old):
-                # idle slots hold their (possibly just-reset) state
-                m = active[None, :, None] if new.ndim == 3 else active[:, None]
-                return jnp.where(m, new, old)
+        def tick(params, batch, state, active, reset):
+            state = _masked_zero(state, reset)
+            probs, new_state = _run_step(params, _dequant(batch), state)
+            return probs, _masked_merge(new_state, state, active)
 
-            merged = StreamState(
-                merge(new_state.h, state.h),
-                merge(new_state.c, state.c),
-                None
-                if state.context is None
-                else merge(new_state.context, state.context),
+        def tick2(params, batch_a, batch_b, state, active_a, active_b, reset):
+            """Catch-up tick: the two OLDEST queued chunks per stream in one
+            device call. When the engine falls behind the chunk cadence
+            (slow tick, tunnel hiccup, faster-than-realtime clients) rings
+            back up while each plain tick drains only one chunk per stream
+            — this drains two, so the engine recovers at up to 2x the
+            shortfall instead of never. Numerically identical to two
+            sequential ticks (parity-tested): reset applies before sub-step
+            0 only; each sub-step merges under its own active mask (a chunk
+            that arrived between the two gathers rides in sub-step 1 with
+            active_a false)."""
+            state = _masked_zero(state, reset)
+            probs_a, s1 = _run_step(params, _dequant(batch_a), state)
+            state = _masked_merge(s1, state, active_a)
+            probs_b, s2 = _run_step(params, _dequant(batch_b), state)
+            # ONE stacked [N, 2] output, not two [N] arrays: each separate
+            # host materialization pays a tunnel RTT, and the second RTT
+            # made tick2 cost ~73 ms vs ~59 ms for two plain ticks —
+            # slower than the problem it exists to solve (measured, 64
+            # streams). Stacked: one D2H, tick2 ~= one tick + compute.
+            return (
+                jnp.stack([probs_a, probs_b], axis=1),
+                _masked_merge(s2, state, active_b),
             )
-            return probs, merged
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -217,9 +255,16 @@ class VadServer:
                 in_shardings=(replicated, b0, state_sh, b0, b0),
                 out_shardings=(b0, state_sh),
             )
+            self._tick2 = jax.jit(
+                tick2,
+                donate_argnums=(3,),
+                in_shardings=(replicated, b0, b0, state_sh, b0, b0, b0),
+                out_shardings=(b0, state_sh),
+            )
             self._params = jax.device_put(self.runner.params, replicated)
         else:
             self._tick = jax.jit(tick, donate_argnums=(2,))
+            self._tick2 = jax.jit(tick2, donate_argnums=(3,))
             self._params = self.runner.params
 
     def warmup(self) -> None:
@@ -243,6 +288,19 @@ class VadServer:
                 jnp.asarray(off),
             )
             np.asarray(probs)  # block until the compile + tick complete
+            # the catch-up tick compiles here too: its first production use
+            # is BY DEFINITION a moment the engine is already behind — the
+            # worst possible time to pay a jit compile
+            probs2, self.state = self._tick2(
+                self._params,
+                jnp.asarray(zeros),
+                jnp.asarray(zeros),
+                self.state,
+                jnp.asarray(off),
+                jnp.asarray(off),
+                jnp.asarray(off),
+            )
+            np.asarray(probs2)
 
     # ---- client lifecycle -------------------------------------------------
 
@@ -686,18 +744,46 @@ class VadServer:
             reset[:] = False
             reset[pending_resets] = True
 
-            batch, ready, count = self.pool.gather()
+            batch, ready, count, backlog = self.pool.gather()
             active = ready > 0
+            # catch-up: when the engine is behind the chunk cadence (slow
+            # tick, tunnel hiccup, faster-than-realtime clients) the rings
+            # hold >1 chunk per stream and one-chunk ticks can never
+            # recover — a second gather drains the backlog at up to 2x.
+            # Gated on the drain-time backlog count, NOT on a blind second
+            # gather: at 1024 realtime streams a chunk completes somewhere
+            # every ~0.1 ms, so a probe issued ~1 ms after the drain finds
+            # "new" chunks on essentially every tick even when perfectly on
+            # cadence — arrival jitter, not backlog — and every steady-state
+            # tick would become a double-compute catch-up tick.
+            batch_b = active_b = None
+            if backlog:
+                b2, r2, c2, _ = self.pool.gather()
+                if c2:
+                    batch_b, active_b = b2, r2 > 0
             if count or reset.any():
                 t0 = time.perf_counter()
                 with self._state_lock:
-                    probs, self.state = self._tick(
-                        self._params,
-                        jnp.asarray(batch),
-                        self.state,
-                        jnp.asarray(active),
-                        jnp.asarray(reset),
-                    )
+                    probs2 = None
+                    if batch_b is not None:
+                        probs2, self.state = self._tick2(
+                            self._params,
+                            jnp.asarray(batch),
+                            jnp.asarray(batch_b),
+                            self.state,
+                            jnp.asarray(active),
+                            jnp.asarray(active_b),
+                            jnp.asarray(reset),
+                        )
+                        self.catchup_ticks += 1
+                    else:
+                        probs, self.state = self._tick(
+                            self._params,
+                            jnp.asarray(batch),
+                            self.state,
+                            jnp.asarray(active),
+                            jnp.asarray(reset),
+                        )
                     # FSM feed AND the emits that consume its events stay
                     # inside the lock so a checkpoint always sees model
                     # state, FSM arrays, and per-slot pending segments from
@@ -705,11 +791,21 @@ class VadServer:
                     # some of a tick's events to `pending` and not others
                     # at snapshot time — those events are already consumed
                     # from the FSM arrays, so a restore would lose them)
-                    events = (
-                        self.fsm.feed(np.asarray(probs)[:, None], active=active)
-                        if count
-                        else []
-                    )
+                    if batch_b is not None:
+                        # ONE [N, 2] materialization (one tunnel RTT), two
+                        # FSM feeds because the active masks differ per
+                        # sub-chunk
+                        p2 = np.asarray(probs2)
+                        events = self.fsm.feed(p2[:, :1], active=active)
+                        events += self.fsm.feed(p2[:, 1:], active=active_b)
+                    else:
+                        events = (
+                            self.fsm.feed(
+                                np.asarray(probs)[:, None], active=active
+                            )
+                            if count
+                            else []
+                        )
                     if count:
                         # latency is measured from the feed() that produced
                         # the events, NOT reset per emit: all of a tick's
