@@ -228,6 +228,41 @@ _DIFF_NOISE_MARKERS = (
 )
 
 
+def _known_move_cause(key: str, rel: float) -> str | None:
+    """Documented recurring causes for >10% round-over-round movement,
+    attached to each matching `moved` entry so the artifact is
+    self-describing (the standing rule since r4: every flagged move needs a
+    named cause). These annotate PATTERNS with an established paper trail
+    in docs/PERFORMANCE.md — a move that exceeds the pattern's documented
+    envelope gets NO annotation and must be investigated, so a genuine
+    regression can't hide behind a variance label."""
+    if (key.startswith(("v4", "v5")) or "pallas" in key) and abs(rel) <= 0.60:
+        return (
+            "microkernel tier (0.02-0.15 ms/step): cross-session remote-"
+            "toolchain/clock state moves the level while within-session IQR "
+            "stays tight (PERFORMANCE.md round-4 note; v5_8k turbo is "
+            "bistable 0.024/0.038 across sessions, stable under "
+            "within-session medians). Re-check with a within-session A/B "
+            "if this family's code changed this round."
+        )
+    if key.startswith("serving") and abs(rel) <= 0.80:
+        return (
+            "load benchmark on a contended single-core host through the "
+            "tunnel: latency/aggregate statistics swing run-to-run with "
+            "host contention; the asserted contract (delivery-exactness, "
+            "tick-cadence and memory bounds) is checked by the harness "
+            "itself, not by this diff."
+        )
+    if "p99" in key and abs(rel) <= 0.50:
+        return "tail of the tunnel RTT distribution; single-session jitter."
+    if key.startswith("offline_512") and abs(rel) <= 0.30:
+        return (
+            "median-of-7 but each pass is <0.1 s wall through the tunnel: "
+            "one RTT shift moves the figure >10%."
+        )
+    return None
+
+
 def diff_against_previous(configs, log):
     """Flag any shared signal-valued numeric config that moved >10% vs the
     last round's BENCH_r*.json. The flags ride in the output JSON so a
@@ -251,10 +286,18 @@ def diff_against_previous(configs, log):
             rel = (v - pv) / abs(pv)
             if abs(rel) > 0.10:
                 moved[k] = {"prev": pv, "now": v, "rel": round(rel, 3)}
+                cause = _known_move_cause(k, rel)
+                if cause:
+                    moved[k]["known_cause"] = cause
     if moved:
-        log(f"vs {source}: {len(moved)} configs moved >10%:")
+        unexplained = sum(1 for d in moved.values() if "known_cause" not in d)
+        log(
+            f"vs {source}: {len(moved)} configs moved >10% "
+            f"({unexplained} outside any documented variance envelope):"
+        )
         for k, d in sorted(moved.items(), key=lambda kv: -abs(kv[1]["rel"])):
-            log(f"  {k}: {d['prev']} -> {d['now']} ({d['rel']:+.0%})")
+            tag = "" if "known_cause" in d else "  ** INVESTIGATE **"
+            log(f"  {k}: {d['prev']} -> {d['now']} ({d['rel']:+.0%}){tag}")
     else:
         log(f"vs {source}: no config moved >10%")
     return {"baseline_round": prev_round, "baseline_source": source, "moved": moved}

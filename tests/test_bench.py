@@ -159,6 +159,38 @@ class TestDiffAgainstPrevious:
         assert out["moved"]["v3_pallas_ms_per_chunk_step"]["prev"] == 5.7689
         assert "salvage" in out["baseline_source"]
 
+    def test_known_causes_annotate_within_envelope_only(
+        self, bench, tmp_path, monkeypatch
+    ):
+        """Moves matching a documented variance pattern carry its cause in
+        the artifact; a move EXCEEDING the pattern's envelope stays
+        unannotated so a real regression can't hide behind the label."""
+        self._write_prev(
+            tmp_path,
+            bench,
+            monkeypatch,
+            {"configs": {
+                "v5_8k_turbo_ms_per_chunk_step": 0.024,
+                "v5_fast_ms_per_chunk_step": 0.06,
+                "serving_tick_p50_ms_incl_tunnel_rtt": 30.0,
+                "some_new_subsystem_ms": 1.0,
+            }},
+        )
+        out = bench.diff_against_previous(
+            {
+                "v5_8k_turbo_ms_per_chunk_step": 0.036,  # +50%: in envelope
+                "v5_fast_ms_per_chunk_step": 0.12,  # +100%: outside envelope
+                "serving_tick_p50_ms_incl_tunnel_rtt": 36.0,  # +20%
+                "some_new_subsystem_ms": 1.5,  # no documented pattern
+            },
+            lambda s: None,
+        )
+        m = out["moved"]
+        assert "bistable" in m["v5_8k_turbo_ms_per_chunk_step"]["known_cause"]
+        assert "known_cause" not in m["v5_fast_ms_per_chunk_step"]
+        assert "known_cause" in m["serving_tick_p50_ms_incl_tunnel_rtt"]
+        assert "known_cause" not in m["some_new_subsystem_ms"]
+
     def test_compact_artifact_falls_back_to_bench_full(
         self, bench, tmp_path, monkeypatch
     ):

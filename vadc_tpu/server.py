@@ -738,12 +738,6 @@ class VadServer:
         jnp = self._jnp
         reset = np.zeros(self.n, bool)
         while not self._stop.is_set():
-            with self._lock:
-                pending_resets = self._reset_requests
-                self._reset_requests = []
-            reset[:] = False
-            reset[pending_resets] = True
-
             batch, ready, count, backlog = self.pool.gather()
             active = ready > 0
             # catch-up: when the engine is behind the chunk cadence (slow
@@ -761,6 +755,18 @@ class VadServer:
                 b2, r2, c2, _ = self.pool.gather()
                 if c2:
                     batch_b, active_b = b2, r2 > 0
+            # capture resets AFTER the gathers, never before: a recycle's
+            # reset request is appended (accept loop) BEFORE its add_fd
+            # makes the new client's chunks gatherable, so any chunk either
+            # gather returned is guaranteed to have its reset visible HERE —
+            # captured before the gather, a first chunk framed in the
+            # capture->gather window would be computed on the previous
+            # client's LSTM state with its zeroing still pending
+            with self._lock:
+                pending_resets = self._reset_requests
+                self._reset_requests = []
+            reset[:] = False
+            reset[pending_resets] = True
             if count or reset.any():
                 t0 = time.perf_counter()
                 with self._state_lock:
