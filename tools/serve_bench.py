@@ -388,6 +388,7 @@ def run_serving_bench(
     def _warm_probe():
         time.sleep(warm_s)
         rss_warm_box["ticks"] = len(srv.tick_times)
+        rss_warm_box["catchup"] = srv.catchup_ticks
         rss_warm_box["mb"] = _rss_mb()
 
     threading.Thread(target=_warm_probe, daemon=True).start()
@@ -508,7 +509,21 @@ def run_serving_bench(
         + srv.n * (1 + 1 + 4)  # active + reset H2D, probs f32 D2H
         + 4 * 2048  # ~2 KB fixed per transfer x 4 transfers
     )
-    plugin_xfer_mb = (ticks_end - ticks_warm) * per_tick_bytes / (1024 * 1024)
+    # a catch-up tick (server.py tick2) moves MORE than a plain tick: a
+    # second s16 batch H2D, a second active mask, [N,2] probs instead of
+    # [N], and two extra fixed per-transfer costs — unmodeled, heavy
+    # catch-up at the 1k scale (~3 MB/catch-up tick) would read as a
+    # false residual and trip the assert below
+    per_catchup_extra = (
+        srv.n * srv.chunk * 2  # batch_b H2D
+        + srv.n * (1 + 4)  # active_b H2D, extra probs column D2H
+        + 2 * 2048
+    )
+    catchup_warm = rss_warm_box.get("catchup", srv.catchup_ticks)
+    plugin_xfer_mb = (
+        (ticks_end - ticks_warm) * per_tick_bytes
+        + (srv.catchup_ticks - catchup_warm) * per_catchup_extra
+    ) / (1024 * 1024)
     rss_postwarm_residual = round(rss_postwarm_growth - plugin_xfer_mb, 1)
 
     expected = cycles * segs_per_cycle
