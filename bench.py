@@ -221,6 +221,7 @@ _DIFF_NOISE_MARKERS = (
     "delivery",
     "_saves",  # checkpoint-wave count: run-length-dependent
     "_max_ms",  # single-worst-sample statistic, jitters across rounds
+    "catchup",  # overload-recovery tick count: transient-dependent by design
     # real perf signal, but measured on a contended single-core host where
     # writers/reader/engine timeshare — run-to-run spread far exceeds 10%;
     # tools/ingest_bench.py is the deliberate-measurement tool
@@ -597,6 +598,7 @@ def main():
             "churn_errors",
             "fault_slowloris_errors",
             "fault_slowreader_delivery_exact",
+            "catchup_ticks",
             "delivery_p50_ms",
             "delivery_p99_ms",
             "segments_dropped",
@@ -657,6 +659,7 @@ def main():
             "client_errors",
             "tick_p50_ms",
             "tick_p99_ms",
+            "catchup_ticks",
             "rss_postwarm_growth_mb",
             "rss_plugin_xfer_model_mb",
             "rss_postwarm_residual_mb",
@@ -751,6 +754,12 @@ def main():
             "delivery_exact": cfg("serving_1k_delivery_exact"),
         },
         "moved_gt_10pct": len(vs_prev.get("moved", {})) if vs_prev else 0,
+        # moves with no documented variance-pattern cause (bench.py
+        # _known_move_cause) — the ones that demand investigation
+        "moved_unexplained": sum(
+            1 for d in vs_prev.get("moved", {}).values()
+            if "known_cause" not in d
+        ) if vs_prev else 0,
         "full_results": "BENCH_full.json",
     }
     line = json.dumps(compact)
