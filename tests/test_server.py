@@ -585,18 +585,29 @@ def test_tick2_parity_with_sequential_ticks(testdata):
         )
 
 
-def test_catchup_tick_drains_backlog_exactly(testdata, audio):
+@pytest.mark.parametrize("shard", [False, True])
+def test_catchup_tick_drains_backlog_exactly(testdata, audio, shard):
     """A deliberately slowed tick forces the rings to back up; the engine
     must fall into the catch-up path (catchup_ticks > 0) and STILL deliver
-    the exact segments — same numbers the plain path produces."""
+    the exact segments — same numbers the plain path produces. Runs both
+    the single-device tick2 and the mesh-sharded one (slot axis over all
+    virtual devices), so the sharded catch-up jit is exercised
+    deterministically, not just when an unpaced client happens to race."""
     if not native.available():
         pytest.skip("native library unavailable")
     import time
 
+    import jax
+
+    if shard and len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
     from vadc_tpu.server import VadServer
 
     srv = VadServer(
-        port=0, max_streams=2, model=str(testdata / "silero_v31_16k.testtensor")
+        port=0,
+        max_streams=len(jax.devices()) if shard else 2,
+        model=str(testdata / "silero_v31_16k.testtensor"),
+        shard=shard,
     )
     orig_tick, orig_tick2 = srv._tick, srv._tick2
 
