@@ -524,12 +524,15 @@ def test_wav_client_malformed_header_gets_error_and_recycles(server):
     assert len(srv._free) == 2, "slot leaked after malformed wav header"
 
 
-def test_tick2_parity_with_sequential_ticks(testdata):
+@pytest.mark.parametrize("family", ["v3", "v5"])
+def test_tick2_parity_with_sequential_ticks(testdata, tmp_path, family):
     """The catch-up tick (two chunks per stream in one device call) must be
     numerically equivalent to two sequential plain ticks — including reset
     applied before sub-step 0 only, per-sub-step active masks (a stream
     active only in the SECOND sub-chunk models a chunk that arrived between
-    the engine's two gathers), and idle-hold merging."""
+    the engine's two gathers), and idle-hold merging. The v5 case is the
+    one where state.context is not None, so tick2's per-sub-step context
+    zero/hold/merge actually executes (v3 leaves that branch dead)."""
     if not native.available():
         pytest.skip("native library unavailable")
     import jax.numpy as jnp
@@ -537,9 +540,17 @@ def test_tick2_parity_with_sequential_ticks(testdata):
     from vadc_tpu.engine.runner import StreamState
     from vadc_tpu.server import VadServer
 
-    srv = VadServer(
-        port=0, max_streams=4, model=str(testdata / "silero_v31_16k.testtensor")
-    )
+    if family == "v3":
+        model = str(testdata / "silero_v31_16k.testtensor")
+    else:
+        from vadc_tpu.io.testtensor import save_testtensor
+        from vadc_tpu.models.synthetic import random_v5_archive
+
+        model = str(tmp_path / "v5.testtensor")
+        save_testtensor(model, random_v5_archive())
+    srv = VadServer(port=0, max_streams=4, model=model)
+    if family == "v5":
+        assert srv.state.context is not None, "v5 must carry context state"
     rng = np.random.default_rng(3)
     n, c = srv.n, srv.chunk
     ba = (rng.normal(size=(n, c)) * 3000).astype(np.int16)
