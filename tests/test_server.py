@@ -645,3 +645,41 @@ def test_catchup_tick_drains_backlog_exactly(testdata, audio, shard):
     finally:
         srv._stop.set()
         sock.close()
+
+
+def test_server_checkpoint_saves_v5_context(tmp_path):
+    """Server-level save/restore must carry the v5 context column: the
+    context branch of VadServer.save_checkpoint is dead code under v3
+    (state.context is None), so only a v5-family server exercises it.
+    Random synthetic weights are fine — the assertion is state fidelity,
+    not segmentation."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    from vadc_tpu.engine.runner import StreamState
+    from vadc_tpu.io.testtensor import save_testtensor
+    from vadc_tpu.models.synthetic import random_v5_archive
+    from vadc_tpu.server import VadServer
+
+    model = str(tmp_path / "v5.testtensor")
+    save_testtensor(model, random_v5_archive())
+    srv = VadServer(port=0, max_streams=2, model=model)
+    assert srv.state.context is not None
+    rng = np.random.default_rng(5)
+    h = rng.normal(size=np.asarray(srv.state.h).shape).astype(np.float32)
+    c = rng.normal(size=np.asarray(srv.state.c).shape).astype(np.float32)
+    ctx = rng.normal(size=np.asarray(srv.state.context).shape).astype(
+        np.float32
+    )
+    srv.state = StreamState(jnp.asarray(h), jnp.asarray(c), jnp.asarray(ctx))
+    srv.fsm.chunk_index[:] = [3, 7]
+    path = str(tmp_path / "srv.ckpt")
+    srv.save_checkpoint(path)
+
+    srv2 = VadServer(port=0, max_streams=2, model=model)
+    srv2.restore_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(srv2.state.h), h)
+    np.testing.assert_array_equal(np.asarray(srv2.state.c), c)
+    np.testing.assert_array_equal(np.asarray(srv2.state.context), ctx)
+    assert list(srv2.fsm.chunk_index[:2]) == [3, 7]
