@@ -281,3 +281,15 @@ def test_sendbuf_roundtrip():
     # absent field stays absent (older checkpoints load unchanged)
     plain = EngineCheckpoint("v3", init_stream_state("v3", 3))
     assert EngineCheckpoint.from_bytes(plain.to_bytes()).sendbuf is None
+
+
+def test_checkpoint_refuses_counters_beyond_float32_exact(v31_params):
+    """The .testtensor container stores integer state as float32, exact only
+    below 2^24 (~18.6 days of 96 ms chunks). Saving past that bound must
+    raise loudly instead of silently rounding a counter and corrupting the
+    resumed stream's timeline."""
+    runner = StreamRunner("v3", v31_params)
+    state = runner.init_state(1)
+    EngineCheckpoint("v3", state, chunk_index=2**24 - 1).to_bytes()  # ok
+    with pytest.raises(ValueError, match="2\\^24"):
+        EngineCheckpoint("v3", state, chunk_index=2**24).to_bytes()

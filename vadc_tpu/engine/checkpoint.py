@@ -105,6 +105,20 @@ class EngineCheckpoint:
             tensors["seg.sendbuf_data"] = np.frombuffer(
                 b"".join(self.sendbuf), np.uint8
             ).astype(np.float32)
+        # The container stores integer state as float32, exact only below
+        # 2^24. A stream that has run ~18.6 days of 96 ms chunks crosses
+        # that on its chunk counter — fail LOUDLY here rather than silently
+        # rounding a counter and corrupting the resumed stream's timeline.
+        for k, arr in tensors.items():
+            if k == "model.h" or k == "model.c" or k == "model.context":
+                continue  # genuine float payloads
+            if arr.size and float(np.abs(arr).max()) >= 2**24:
+                raise ValueError(
+                    f"checkpoint field {k!r} holds a value >= 2^24, beyond "
+                    "float32's exact-integer range — the stream has outrun "
+                    "the serializable counter bound; restart its timeline "
+                    "before checkpointing"
+                )
         return save_testtensor_bytes(tensors)
 
     @classmethod
